@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build an interleaved docs table from sf0.001
+testdata, run the full KG pipeline (extract -> fuse CRH -> triples).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, runnable at any sf dir, with DuckDB-equivalent ANSI SQL.
+Column names and rounding are aligned on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +14,448 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """events.parquet -> interleaved docs (1 text span + media span) ->
+    extraction -> CRH fusion -> (subj, pred, obj) triples."""
+    from trustfuse_spark.plans.pipeline import run_pipeline
+
+    events = _t(spark, SF_DEFAULT, "events")
+    text = F.concat(
+        F.lit("E"), (F.col("user_id") % 100).cast("string"),
+        F.lit(" | "), F.col("event_type"),
+        F.lit(" | v"), F.round(F.col("value"), -1).cast("long").cast("string"),
+    )
+    doc_id = F.concat(
+        F.lit("d"), F.lpad((F.col("user_id") % 100).cast("string"), 6, "0"),
+        F.lit("_"), F.lpad((F.col("event_id") % 20).cast("string"), 4, "0"),
+        F.lit("_"), F.lpad((F.col("event_id") % 3).cast("string"), 2, "0"),
+    )
+    media = F.when(
+        F.col("event_id") % 4 == 0,
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                F.concat(F.lit("mref://"), F.col("event_id").cast("string")).alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+    docs = events.select(
+        doc_id.alias("doc_id"),
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"), text.alias("text"),
+                    F.lit("").alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+                )
+            ),
+            media,
+        ).alias("spans"),
+    )
+    triples, _ = run_pipeline(docs, model="crh", max_itr=2)
+    return triples
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+# Shared claims derivation (events -> long-form conflicting claims) used by
+# the fusion-step queries; identical SQL on the DuckDB side.
+_CLAIMS_SQL = """
+    SELECT 's' || CAST(event_id % 7 AS VARCHAR) AS source,
+           'e' || CAST(user_id AS VARCHAR)      AS entity,
+           event_type                            AS attr,
+           ROUND(value, -1)                      AS v
+    FROM events
+"""
+
+
+def _claims_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 7).cast("string")).alias("source"),
+        F.concat(F.lit("e"), F.col("user_id").cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round("value", -1).alias("v"),
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1999-09-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: majority value per group with ascending-value tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("n").desc(), F.col("c_mktsegment").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), F.col("n").alias("votes"))
+    )
+
+
+def median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact interpolated median (np.median parity — not approx)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+
+
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: argmax within group, ties pinned by key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("top_order"), F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def stddev_denom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A3: per-fact population stddev floored at eps (CRH loss denom)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.round(F.greatest(F.stddev_pop("l_extendedprice"), F.lit(0.1)), 6).alias("denom"),
+        F.count("*").alias("n_claims"),
+    )
+
+
+def session_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: gap-based sessionization as window expressions (batch form of
+    the reference's bucket-closure rule, generate_buckets.py:171-242)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1-SO4: TP/FP/FN via inner/anti joins (evaluation.py:211-214 algebra)."""
+    p = _t(spark, sf_dir, "part")
+    it = p.filter(F.col("p_retailprice") > 1400).select("p_brand", "p_partkey")
+    gt = p.filter(F.col("p_size") > 25).select("p_brand", "p_partkey")
+    tp = it.join(gt, ["p_brand", "p_partkey"]).groupBy("p_brand").agg(F.count("*").alias("tp"))
+    fp = it.join(gt, ["p_brand", "p_partkey"], "left_anti").groupBy("p_brand").agg(F.count("*").alias("fp"))
+    fn = gt.join(it, ["p_brand", "p_partkey"], "left_anti").groupBy("p_brand").agg(F.count("*").alias("fn"))
+    return (
+        tp.join(fp, "p_brand", "full")
+        .join(fn, "p_brand", "full")
+        .fillna(0, subset=["tp", "fp", "fn"])
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on document text: representative = min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .select("rep_doc_id", "n_copies")
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts + char stats per language."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def majority_fusion_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as full fusion step over a claims table derived from events."""
+    claims = _claims_from_events(spark, sf_dir)
+    counts = claims.groupBy("entity", "attr", "v").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("entity", "attr").orderBy(F.col("n").desc(), F.col("v").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity", "attr", F.col("v").alias("fused_value"), F.col("n").alias("votes"))
+    )
+
+
+def crh_weight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: one CRH numeric weight update (loss = (v-med)^2/max(std,eps);
+    w = -ln(raw/total)) entirely in SQL-expressible form."""
+    claims = _claims_from_events(spark, sf_dir)
+    stats = claims.groupBy("entity", "attr").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.greatest(F.stddev_pop("v"), F.lit(0.1)).alias("sd"),
+    )
+    loss = claims.join(stats, ["entity", "attr"]).withColumn(
+        "loss", (F.col("v") - F.col("med")) ** 2 / F.col("sd")
+    )
+    raw = loss.groupBy("source").agg(F.sum("loss").alias("raw"))
+    total = raw.agg(F.sum("raw").alias("tot")).collect()[0]["tot"]
+    return raw.select(
+        "source",
+        F.round(F.when(F.col("raw") > 0, -F.log(F.col("raw") / F.lit(total))).otherwise(0.0), 6).alias("w"),
+    )
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 5 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sims = q.crossJoin(F.broadcast(c)).select(
+        "qid", "cid", (dot / (norm(F.col("qv")) * norm(F.col("cv")))).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.round("sim", 4).alias("sim_r"), "rn")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "mode_per_group": mode_per_group,
+        "median_exact": median_exact,
+        "argmax_per_group": argmax_per_group,
+        "stddev_denom": stddev_denom,
+        "session_bucketize": session_bucketize,
+        "eval_set_ops": eval_set_ops,
+        "dedup_exact": dedup_exact,
+        "text_quality": text_quality,
+        "majority_fusion_sql": majority_fusion_sql,
+        "crh_weight_step": crh_weight_step,
+        "ann_topk": ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_unshipped": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1999-09-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "mode_per_group": """
+            SELECT c_nationkey, c_mktsegment AS mode_segment, n AS votes
+            FROM (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+              FROM customer GROUP BY c_nationkey, c_mktsegment
+            ) WHERE rn = 1
+        """,
+        "median_exact": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "argmax_per_group": """
+            SELECT o_custkey, o_orderkey AS top_order, ROUND(o_totalprice, 2) AS top_price
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "stddev_denom": """
+            SELECT l_partkey,
+                   ROUND(GREATEST(COALESCE(stddev_pop(l_extendedprice), 0), 0.1), 6) AS denom,
+                   COUNT(*) AS n_claims
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "session_bucketize": """
+            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ) GROUP BY user_id
+        """,
+        "eval_set_ops": """
+            WITH it AS (SELECT p_brand, p_partkey FROM part WHERE p_retailprice > 1400),
+                 gt AS (SELECT p_brand, p_partkey FROM part WHERE p_size > 25),
+                 tp AS (SELECT it.p_brand, COUNT(*) AS tp FROM it
+                        WHERE EXISTS (SELECT 1 FROM gt WHERE gt.p_brand = it.p_brand AND gt.p_partkey = it.p_partkey)
+                        GROUP BY it.p_brand),
+                 fp AS (SELECT it.p_brand, COUNT(*) AS fp FROM it
+                        WHERE NOT EXISTS (SELECT 1 FROM gt WHERE gt.p_brand = it.p_brand AND gt.p_partkey = it.p_partkey)
+                        GROUP BY it.p_brand),
+                 fn AS (SELECT gt.p_brand, COUNT(*) AS fn FROM gt
+                        WHERE NOT EXISTS (SELECT 1 FROM it WHERE it.p_brand = gt.p_brand AND it.p_partkey = gt.p_partkey)
+                        GROUP BY gt.p_brand)
+            SELECT COALESCE(tp.p_brand, fp.p_brand, fn.p_brand) AS p_brand,
+                   COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+            FROM tp FULL JOIN fp ON tp.p_brand = fp.p_brand
+                    FULL JOIN fn ON COALESCE(tp.p_brand, fp.p_brand) = fn.p_brand
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "text_quality": """
+            SELECT lang,
+                   ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+                   ROUND(AVG(length(text)), 6) AS avg_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "majority_fusion_sql": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            counts AS (
+              SELECT entity, attr, v, COUNT(*) AS n FROM claims GROUP BY entity, attr, v
+            )
+            SELECT entity, attr, v AS fused_value, n AS votes
+            FROM (
+              SELECT entity, attr, v, n,
+                     ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                        ORDER BY n DESC, v ASC) AS rn
+              FROM counts
+            ) WHERE rn = 1
+        """,
+        "crh_weight_step": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (
+              SELECT entity, attr, quantile_cont(v, 0.5) AS med,
+                     GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
+              FROM claims GROUP BY entity, attr
+            ),
+            raw AS (
+              SELECT source, SUM((v - med) * (v - med) / sd) AS raw
+              FROM claims JOIN stats USING (entity, attr)
+              GROUP BY source
+            )
+            SELECT source,
+                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw)) ELSE 0.0 END, 6) AS w
+            FROM raw
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+                 sims AS (
+                   SELECT qid, cid,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                   FROM q CROSS JOIN c
+                 )
+            SELECT qid, cid, ROUND(sim, 4) AS sim_r, rn
+            FROM (
+              SELECT qid, cid, sim,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+              FROM sims
+            ) WHERE rn <= 5
+        """,
+    }

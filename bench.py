@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries + the KG pipeline at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "docs_per_sec": ..., ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default all)
+  BENCH_PIPELINE_E    entities for the synthetic docs pipeline bench (default 3000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.0
+
+    import __spark_entry__ as entrymod
+    from trustfuse_spark.datagen import gen_docs
+    from trustfuse_spark.plans.pipeline import run_pipeline
+    from trustfuse_spark.session import get_spark
+
+    spark = get_spark(app_name="trustfuse_bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # KG pipeline: synthetic interleaved docs -> extract -> CRH -> triples
+    e_cnt = int(os.environ.get("BENCH_PIPELINE_E", "3000"))
+    docs = gen_docs(spark, n_entities=e_cnt, n_sources=20, n_revs=4).cache()
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    triples, _ = run_pipeline(docs, model="crh", max_itr=3)
+    n_triples = triples.count()
+    pipeline_sec = round(time.perf_counter() - t0, 3)
+    timings["kg_pipeline_crh"] = pipeline_sec
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

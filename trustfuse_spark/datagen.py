@@ -1,0 +1,277 @@
+"""Deterministic synthetic data for tests + benchmarks (no external data).
+
+Implements FIXTURES.md: an interleaved text+media ``docs`` table
+(doc_id, spans:array<struct<kind,text,media_ref,offset>>) whose text spans
+render conflicting claims, plus the long-form ``claims`` table, ``gt`` and
+``source_truth`` oracles — all pure functions of (seed-free integer hashing of
+entity/source/attr indices), so output is identical across partition counts
+and parallelism levels. Generation happens in Spark expressions over
+``spark.range`` (no driver-side materialization) so the same generator scales
+to benchmark size.
+
+Shape mirrors the reference's conflicting-claims datasets
+(reference: dataset.py:60-64 claim tables; generate_buckets.py bucketing;
+settings.py:110-126 entity keys) without copying any code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+M31 = 2147483647  # 2**31 - 1, keeps all hash arithmetic inside int64
+
+N_ATTRS = 6
+ATTR_NAMES = ["P_ent0", "P_ent1", "P_ent2", "P_qty", "P_str", "P_time"]
+ATTR_TYPES = ["entity", "entity", "entity", "quantity", "string", "time"]
+N_WRONG = 3  # planted wrong values per (entity, attr)
+EPOCH0 = 1577836800  # 2020-01-01T00:00:00Z
+REV_GAP_S = 30 * 24 * 3600  # revisions 30 days apart -> distinct temporal buckets
+
+
+def _mix(*cols: Column | int) -> Column:
+    """Deterministic int64 mixer, reproducible in numpy for oracles."""
+    out = F.lit(1469598103).cast("long")
+    for c in cols:
+        c = F.lit(c) if isinstance(c, int) else c.cast("long")
+        out = ((out + c + 1) * F.lit(2654435761)) % F.lit(M31)
+    return out
+
+
+def mix_py(*vals: int) -> int:
+    """Python twin of :func:`_mix` for test oracles."""
+    out = 1469598103
+    for v in vals:
+        out = ((out + int(v) + 1) * 2654435761) % M31
+    return out
+
+
+def _entity_name(e: Column) -> Column:
+    return F.concat(F.lit("Q"), (e + 1000).cast("string"))
+
+
+def _source_name(s: Column) -> Column:
+    return F.concat(F.lit("src_"), F.lpad(s.cast("string"), 4, "0"))
+
+
+def _p_true_pct(s: Column) -> Column:
+    """Planted source reliability in percent: 95, 90, ... 55 cycling."""
+    return (F.lit(95) - (s % 9) * 5).cast("long")
+
+
+def _true_value_idx(e: Column, a: Column) -> Column:
+    return _mix(e, a, 17) % 1000
+
+
+def _wrong_value_idx(tv: Column, j: Column) -> Column:
+    """j-th planted wrong value index for a fact with true index tv.
+
+    Spread far from tv (offsets ~1/8..1/2 of the value space) so numeric
+    conflicts scatter instead of hugging the truth — squared-loss models
+    (CRH numeric, CATD, GTM) legitimately pick an adjacent claimed value
+    otherwise, which no truth-discovery model could distinguish.
+    """
+    return (tv + 129 + j * 173) % 1000
+
+
+def _value_str(e: Column, a: Column, vidx: Column) -> Column:
+    """Render a claim value for attr index ``a`` with value index ``vidx``.
+
+    Types per ATTR_TYPES: entity attrs -> linked QIDs; quantity -> number with
+    unit-noise variants (exercises scale_units-style normalization,
+    reference: preprocessing.py:176-225); string -> token w/ whitespace noise
+    (reference: remove_space preprocessing.py:168-173); time -> H:MM clock
+    (reference: extract_time preprocessing.py:86-103).
+    """
+    num = (vidx % 900 + 100).cast("long")  # 100..999
+    variant = _mix(e, a, vidx, 23) % 3
+    return (
+        F.when(a < 3, F.concat(F.lit("Q"), (50000 + vidx).cast("string")))
+        .when(
+            a == 3,
+            F.when(variant == 0, F.concat(num.cast("string"), F.lit(" m")))
+            .when(variant == 1, F.concat((num * 100).cast("string"), F.lit(" cm")))
+            .otherwise(F.concat(F.lit("+"), num.cast("string"), F.lit("metre"))),
+        )
+        .when(
+            a == 4,
+            F.when(variant == 0, F.concat(F.lit(" name_"), vidx.cast("string"), F.lit(" ")))
+            .otherwise(F.concat(F.lit("name_"), vidx.cast("string"))),
+        )
+        .otherwise(  # time "H:MM"
+            F.concat(
+                (vidx % 24).cast("string"),
+                F.lit(":"),
+                F.lpad((vidx % 60).cast("string"), 2, "0"),
+            )
+        )
+    )
+
+
+def _value_num(a: Column, vidx: Column) -> Column:
+    """Canonical numeric value (post-normalization) for quantity/time attrs."""
+    return (
+        F.when(a == 3, (vidx % 900 + 100).cast("double"))
+        .when(a == 5, ((vidx % 24) * 60 + vidx % 60).cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def _claim_cols(df: DataFrame) -> DataFrame:
+    """Given columns (e, s, a) add claim columns. Core conflict-injection.
+
+    present: ~70% of (source, entity, attr) cells are non-null.
+    correct: source claims the planted true value w.p. its reliability,
+    else one of N_WRONG planted wrong values.
+    """
+    e, s, a = F.col("e"), F.col("s"), F.col("a")
+    df = (
+        df.withColumn("present", (_mix(e, s, a, 5) % 100) >= 30)
+        .withColumn("is_true", (_mix(e, s, a, 7) % 100) < _p_true_pct(s))
+        .withColumn("tv", _true_value_idx(e, a))
+        .withColumn("wrong_j", _mix(e, s, a, 11) % N_WRONG)
+    )
+    vidx = F.when(F.col("is_true"), F.col("tv")).otherwise(
+        _wrong_value_idx(F.col("tv"), F.col("wrong_j"))
+    )
+    return (
+        df.withColumn("vidx", vidx)
+        .withColumn("attr", F.element_at(F.lit(ATTR_NAMES), (a + 1).cast("int")))
+        .withColumn("claim_type", F.element_at(F.lit(ATTR_TYPES), (a + 1).cast("int")))
+        .withColumn("value_str", _value_str(e, a, F.col("vidx")))
+        .withColumn("value_num", _value_num(a, F.col("vidx")))
+        .withColumn("entity", _entity_name(e))
+        .withColumn("source", _source_name(s))
+    )
+
+
+def gen_claims(
+    spark: SparkSession, n_entities: int = 200, n_sources: int = 20, n_revs: int = 4
+) -> DataFrame:
+    """Long-form conflicting-claims table (FIXTURES.md §2).
+
+    Columns: bucket_id, source, entity, attr, value_str, value_num,
+    claim_type, ts. Attr ``a`` is claimed in revision ``a % n_revs`` by every
+    source that covers it; bucket_id == revision index.
+    """
+    base = (
+        spark.range(n_entities * n_sources * N_ATTRS)
+        .withColumn("e", (F.col("id") / (n_sources * N_ATTRS)).cast("long"))
+        .withColumn("s", (F.col("id") / N_ATTRS).cast("long") % n_sources)
+        .withColumn("a", F.col("id") % N_ATTRS)
+        .withColumn("r", F.col("id") % N_ATTRS % n_revs)
+    )
+    df = _claim_cols(base).filter(F.col("present"))
+    ts = F.to_timestamp(
+        F.from_unixtime(
+            F.lit(EPOCH0)
+            + F.col("r") * REV_GAP_S
+            + (_mix(F.col("e"), F.col("s"), 41) % 3600)
+        )
+    )
+    return df.select(
+        F.col("r").cast("int").alias("bucket_id"),
+        "source",
+        "entity",
+        "attr",
+        "value_str",
+        "value_num",
+        "claim_type",
+        ts.alias("ts"),
+    )
+
+
+def gen_docs(
+    spark: SparkSession, n_entities: int = 200, n_sources: int = 20, n_revs: int = 4
+) -> DataFrame:
+    """Interleaved docs table (FIXTURES.md §1 / BASELINE input_hint).
+
+    One doc per (entity, source, revision); its text spans render the claims
+    of that revision as "<entity> | <attr> | <value>"; 0-2 media spans are
+    interleaved deterministically. Offsets strictly increase.
+    """
+    docs = (
+        spark.range(n_entities * n_sources * n_revs)
+        .withColumn("e", (F.col("id") / (n_sources * n_revs)).cast("long"))
+        .withColumn("s", (F.col("id") / n_revs).cast("long") % n_sources)
+        .withColumn("r", F.col("id") % n_revs)
+    )
+    e, s, r = F.col("e"), F.col("s"), F.col("r")
+
+    # Text spans: one per attr assigned to this revision (a % n_revs == r) and
+    # present for this (e, s, a). Build as fixed-size array -> filter nulls.
+    span_structs = []
+    for a_i in range(N_ATTRS):
+        a = F.lit(a_i).cast("long")
+        present = ((_mix(e, s, a, 5) % 100) >= 30) & (a % n_revs == r)
+        is_true = (_mix(e, s, a, 7) % 100) < _p_true_pct(s)
+        tv = _true_value_idx(e, a)
+        vidx = F.when(is_true, tv).otherwise(_wrong_value_idx(tv, _mix(e, s, a, 11) % N_WRONG))
+        text = F.concat(
+            _entity_name(e), F.lit(" | "), F.lit(ATTR_NAMES[a_i]), F.lit(" | "),
+            _value_str(e, a, vidx),
+        )
+        span_structs.append(
+            F.when(
+                present,
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    text.alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(a_i).cast("int").alias("offset"),
+                ),
+            )
+        )
+    # 0-2 media spans with deterministic refs, offsets after the text block
+    n_media = _mix(e, s, r, 13) % 3
+    for m_i in range(2):
+        mref = F.concat(F.lit("mref://"), (_mix(e, s, r, 29 + m_i) % 100000).cast("string"))
+        span_structs.append(
+            F.when(
+                n_media > m_i,
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    mref.alias("media_ref"),
+                    F.lit(N_ATTRS + m_i).cast("int").alias("offset"),
+                ),
+            )
+        )
+    spans = F.filter(F.array(*span_structs), lambda x: x.isNotNull())
+    doc_id = F.concat(
+        F.lit("d"), F.lpad(e.cast("string"), 6, "0"),
+        F.lit("_"), F.lpad(s.cast("string"), 4, "0"),
+        F.lit("_"), F.lpad(r.cast("string"), 2, "0"),
+    )
+    ts = F.to_timestamp(
+        F.from_unixtime(F.lit(EPOCH0) + r * REV_GAP_S + (_mix(e, s, 41) % 3600))
+    )
+    return (
+        docs.select(doc_id.alias("doc_id"), spans.alias("spans"), ts.alias("ts"))
+        .filter(F.size("spans") > 0)
+    )
+
+
+def gen_gt(spark: SparkSession, n_entities: int = 200) -> DataFrame:
+    """Ground truth (FIXTURES.md §3): planted true value per (entity, attr)."""
+    base = (
+        spark.range(n_entities * N_ATTRS)
+        .withColumn("e", (F.col("id") / N_ATTRS).cast("long"))
+        .withColumn("a", F.col("id") % N_ATTRS)
+    )
+    e, a = F.col("e"), F.col("a")
+    tv = _true_value_idx(e, a)
+    return base.select(
+        _entity_name(e).alias("entity"),
+        F.element_at(F.lit(ATTR_NAMES), (a + 1).cast("int")).alias("attr"),
+        F.array(_value_str(e, a, tv)).alias("gt_values"),
+        _value_num(a, tv).alias("gt_num"),
+    )
+
+
+def gen_source_truth(spark: SparkSession, n_sources: int = 20) -> DataFrame:
+    """Planted reliabilities (FIXTURES.md §5) for weight rank-correlation tests."""
+    return spark.range(n_sources).select(
+        _source_name(F.col("id")).alias("source"),
+        (_p_true_pct(F.col("id")) / 100.0).alias("p_true"),
+    )

@@ -1,0 +1,153 @@
+"""Shared machinery for truth-discovery models.
+
+Every model is the same Spark shape (SURVEY §2.4): two alternating grouped
+aggregations — truth per fact (bucket_id, entity, attr) and weight per
+(bucket_id, source) — iterated by a driver loop with broadcast weight joins
+and per-iteration lineage truncation. No per-row Python anywhere in this
+module.
+
+Claims contract (long form):
+    bucket_id:int, source:string, entity:string, attr:string,
+    value_str:string, value_num:double (null => categorical claim),
+    claim_type:string
+
+A fact is numeric iff its claims carry non-null value_num (the reference
+branches on the runtime type of the first claim after preprocessing,
+crh.py:47/69/95 — declared-type branching is the explicit Spark equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+FACT_KEYS = ["bucket_id", "entity", "attr"]
+WEIGHT_KEYS = ["bucket_id", "source"]
+
+
+@dataclass
+class FusionResult:
+    """truth: one row per fact; weights: one row per (bucket, source)."""
+
+    truth: DataFrame  # FACT_KEYS + value_str, value_num, is_numeric
+    weights: DataFrame  # WEIGHT_KEYS + weight
+
+
+def split_claims(claims: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(categorical, numeric) claim partitions."""
+    is_num = F.col("value_num").isNotNull()
+    return claims.filter(~is_num), claims.filter(is_num)
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage between driver-loop iterations.
+
+    local[*] / tests: localCheckpoint. On a real cluster you would point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage (or write an
+    Iceberg snapshot per iteration — see plans/lineage.py) so a lost executor
+    can recompute; the loop structure is identical.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+def argmax_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFrame:
+    """One row per fact: max score, ties broken by ascending value.
+
+    Reference ties (np.argmax over a set-ordered candidate list,
+    crh.py:75/85) are unpinned; ascending-value is our pinned, shuffle-stable
+    choice (SURVEY §7.4 risk 1).
+    """
+    w = Window.partitionBy(*FACT_KEYS).orderBy(score.desc(), F.col(value_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def argmin_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFrame:
+    w = Window.partitionBy(*FACT_KEYS).orderBy(score.asc(), F.col(value_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def mode_per_fact(cat_claims: DataFrame) -> DataFrame:
+    """Majority value per fact; tie -> lexicographically smallest value,
+    matching pandas ``Series.mode().iloc[0]`` (reference crh.py:96-98, mode
+    returns sorted values)."""
+    counts = cat_claims.groupBy(*FACT_KEYS, "value_str").agg(F.count("*").alias("__n"))
+    return argmax_per_fact(counts, F.col("__n"), "value_str").select(
+        *FACT_KEYS, F.col("value_str").alias("truth_str")
+    )
+
+
+def median_per_fact(num_claims: DataFrame) -> DataFrame:
+    """Exact interpolated median, matching ``np.median`` (reference
+    crh.py:99-101). ``percentile`` (exact) — never percentile_approx, which
+    would break value-level parity (SURVEY §4.2.5)."""
+    return num_claims.groupBy(*FACT_KEYS).agg(
+        F.expr("percentile(value_num, 0.5)").alias("truth_num")
+    )
+
+
+def snap_to_claimed(num_claims: DataFrame, truth_est: DataFrame) -> DataFrame:
+    """Replace an estimated numeric truth by the nearest *claimed* value
+    (reference catd.py:32-33, gtm.py:41-42: ``np.abs(claim-truth).argmin()``).
+    Tie -> smaller value (pinned)."""
+    joined = num_claims.select(*FACT_KEYS, "value_num").join(
+        truth_est, FACT_KEYS
+    )
+    return argmin_per_fact(
+        joined, F.abs(F.col("value_num") - F.col("truth_num")), "value_num"
+    ).select(*FACT_KEYS, F.col("value_num").alias("truth_num"))
+
+
+def fact_stddev(num_claims: DataFrame, eps: float) -> DataFrame:
+    """Per-fact population std (np.std is ddof=0 — SURVEY §2.6 W3) floored at
+    eps; the loss denominator CRH reuses every iteration (crh.py:55)."""
+    return num_claims.groupBy(*FACT_KEYS).agg(
+        F.greatest(F.stddev_pop("value_num"), F.lit(eps)).alias("denom")
+    )
+
+
+def assemble_truth(
+    cat_truth: DataFrame | None, num_truth: DataFrame | None
+) -> DataFrame:
+    """Union categorical + numeric truth into the FusionResult.truth schema.
+
+    value_str for numeric facts is a canonical decimal rendering so triples
+    always have a string object; value_num stays authoritative for numeric
+    comparison.
+    """
+    parts = []
+    if cat_truth is not None:
+        parts.append(
+            cat_truth.select(
+                *FACT_KEYS,
+                F.col("truth_str").alias("value_str"),
+                F.lit(None).cast("double").alias("value_num"),
+                F.lit(False).alias("is_numeric"),
+            )
+        )
+    if num_truth is not None:
+        parts.append(
+            num_truth.select(
+                *FACT_KEYS,
+                F.format_number(F.col("truth_num"), 6).alias("value_str"),
+                F.col("truth_num").alias("value_num"),
+                F.lit(True).alias("is_numeric"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def weights_to_triples_weights(weights: DataFrame) -> DataFrame:
+    return weights.select(*WEIGHT_KEYS, "weight")

@@ -1,0 +1,154 @@
+"""CRH truth discovery as iterated DataFrame aggregations.
+
+Re-expresses the reference's per-bucket numpy loops (crh.py:26-103) as one
+vectorized dataflow over *all* buckets at once: the fact key is
+(bucket_id, entity, attr), the weight key is (bucket_id, source).
+
+Per iteration (reference semantics, verified against crh.py):
+
+  weight step (update_w, crh.py:40-62):
+    loss per claim = 1[v != truth]                       (categorical)
+                   = (v - truth)^2 / max(std_pop(fact), eps)   (numeric)
+    raw_s  = Σ losses of source s within its bucket
+    w_s    = -log(raw_s / Σ_bucket raw)  if raw_s > 0 else 0.0
+    (zero-loss sources KEEP weight 0 — reference rtn[rtn>0] masking)
+
+  truth step (update_truth, crh.py:65-89):
+    categorical: argmax over distinct claimed v of Σ w[claimers of v]
+    numeric:     argmin over claimed v of Σ_claims w·(v - claim)^2 / denom
+    truth is always snapped to a claimed value, never synthetic.
+
+Init truth = mode / exact median (initialize_truth, crh.py:92-103).
+Iterations fixed (reference while itr < max_itr with no convergence break).
+
+Scale notes: claims are cached once; each iteration produces two small-ish
+DataFrames (weights: |sources|·|buckets| rows → broadcast join back;
+truth: one row per fact → shuffle join on the fact key, AQE skew-handled).
+Lineage is truncated every iteration (localCheckpoint; Iceberg snapshot on a
+real cluster) so plans stay constant-size across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trustfuse_spark.operators.fusion.base import (
+    FACT_KEYS,
+    WEIGHT_KEYS,
+    FusionResult,
+    argmax_per_fact,
+    argmin_per_fact,
+    assemble_truth,
+    checkpoint,
+    fact_stddev,
+    median_per_fact,
+    mode_per_fact,
+    split_claims,
+)
+
+
+def _weight_step(
+    cat: DataFrame,
+    num_with_denom: DataFrame,
+    cat_truth: DataFrame,
+    num_truth: DataFrame,
+    all_sources: DataFrame,
+) -> DataFrame:
+    cat_loss = (
+        cat.join(cat_truth, FACT_KEYS)
+        .select(
+            *WEIGHT_KEYS,
+            (F.col("value_str") != F.col("truth_str")).cast("double").alias("loss"),
+        )
+    )
+    num_loss = (
+        num_with_denom.join(num_truth, FACT_KEYS)
+        .select(
+            *WEIGHT_KEYS,
+            (
+                (F.col("value_num") - F.col("truth_num")) ** 2 / F.col("denom")
+            ).alias("loss"),
+        )
+    )
+    raw = (
+        cat_loss.unionByName(num_loss)
+        .groupBy(*WEIGHT_KEYS)
+        .agg(F.sum("loss").alias("raw"))
+    )
+    # Sources silent in a bucket never enter update_w in the reference either;
+    # right-join against the source dim keeps them present with raw=0 so the
+    # weights table is total (reference w starts at zeros and stays 0).
+    raw = all_sources.join(raw, WEIGHT_KEYS, "left").fillna({"raw": 0.0})
+    total = Window.partitionBy("bucket_id")
+    return raw.select(
+        *WEIGHT_KEYS,
+        F.when(
+            F.col("raw") > 0, -F.log(F.col("raw") / F.sum("raw").over(total))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
+    )
+
+
+def _truth_step(
+    cat: DataFrame, num_with_denom: DataFrame, weights: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    bw = F.broadcast(weights)
+    # categorical: score(v) = Σ w of claimers of v (crh.py:69-77)
+    cat_scores = (
+        cat.join(bw, WEIGHT_KEYS)
+        .groupBy(*FACT_KEYS, "value_str")
+        .agg(F.sum("weight").alias("score"))
+    )
+    cat_truth = argmax_per_fact(cat_scores, F.col("score"), "value_str").select(
+        *FACT_KEYS, F.col("value_str").alias("truth_str")
+    )
+    # numeric: candidates = distinct claimed values per fact; loss(cand) =
+    # Σ_claims w·(cand - claim)^2/denom  (crh.py:79-87). Fact-local self-join:
+    # |claims per fact| × |distinct values per fact| rows, both bounded by the
+    # source count per fact; AQE splits skewed (hot-entity) facts.
+    num_w = num_with_denom.join(bw, WEIGHT_KEYS)
+    cands = num_with_denom.select(*FACT_KEYS, F.col("value_num").alias("cand")).distinct()
+    num_scores = (
+        num_w.join(cands, FACT_KEYS)
+        .groupBy(*FACT_KEYS, "cand")
+        .agg(
+            F.sum(
+                F.col("weight")
+                * (F.col("cand") - F.col("value_num")) ** 2
+                / F.col("denom")
+            ).alias("loss")
+        )
+    )
+    num_truth = argmin_per_fact(num_scores, F.col("loss"), "cand").select(
+        *FACT_KEYS, F.col("cand").alias("truth_num")
+    )
+    return cat_truth, num_truth
+
+
+def fuse_crh(
+    claims: DataFrame, max_itr: int = 10, eps: float = 0.1
+) -> FusionResult:
+    """Run CRH over a long-form claims DataFrame (all buckets vectorized)."""
+    cat, num = split_claims(claims)
+    cat = cat.cache()
+    num_with_denom = num.join(fact_stddev(num, eps), FACT_KEYS).cache()
+    all_sources = claims.select(*WEIGHT_KEYS).distinct().cache()
+
+    cat_truth = checkpoint(mode_per_fact(cat))
+    num_truth = checkpoint(median_per_fact(num))
+
+    weights = None
+    for _ in range(max_itr):
+        weights = checkpoint(
+            _weight_step(cat, num_with_denom, cat_truth, num_truth, all_sources)
+        )
+        cat_truth, num_truth = _truth_step(cat, num_with_denom, weights)
+        cat_truth = checkpoint(cat_truth)
+        num_truth = checkpoint(num_truth)
+
+    if weights is None:  # max_itr == 0 -> init truth, uniform weights
+        weights = all_sources.select(*WEIGHT_KEYS, F.lit(0.0).alias("weight"))
+
+    return FusionResult(truth=assemble_truth(cat_truth, num_truth), weights=weights)

@@ -1,0 +1,215 @@
+"""TruthFinder as iterated DataFrame aggregations + a fact-local pair join.
+
+Reference semantics (truthfinder.py, verified):
+
+  per iteration (update_claim :57-100, update_source :43-54):
+    σ(fact, v)  = Σ τ[sources claiming v]
+    tmp(v):
+      string/entity: (1 - ρ(1-θ))·σ(v) + ρ·Σ_{u≠v} σ(u)·(exp(-jaro(v,u)) - θ)
+      quantity:      (1 - ρ(1-θ))·σ(v) + ρ·Σ_{u}   σ(u)·(exp(-|v-u|)  - θ)
+                     (note: the quantity branch INCLUDES u=v — reference sums
+                     over the whole claim_set; the string branch excludes it)
+      other types:   σ(v) unchanged
+    s(v)  = 1 / (1 + exp(-γ·tmp(v)))
+    t_src = mean of s over the source's claims
+    τ_src = ln(1e10) if t ≥ 1 else -ln(1 - t)
+
+  init τ = -ln(1 - 0.9); fixed max_itr iterations; final truth per fact =
+  claimed value with max s (ties pinned to ascending value).
+
+The pairwise implication term is a fact-local self-join over *distinct
+claimed values* (≤ #sources per fact), not an applyInPandas — it stays
+distributed and AQE-skew-handled. Jaro similarity is the only Python, as an
+Arrow-batched pandas UDF over the pair rows (reference models/utils.py:32-68
+algorithm, reimplemented).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from trustfuse_spark.operators.fusion.base import (
+    FACT_KEYS,
+    WEIGHT_KEYS,
+    FusionResult,
+    argmax_per_fact,
+    checkpoint,
+)
+
+
+def jaro_py(s1: str, s2: str) -> float:
+    """Jaro similarity, matching the reference's variant exactly
+    (models/utils.py:32-68): greedy in-window matching, transpositions
+    counted via ordered matched characters, t // 2."""
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    max_dist = max(len1, len2) // 2 - 1
+    matched2 = [False] * len2
+    matched1 = [False] * len1
+    match = 0
+    for i in range(len1):
+        for j in range(max(0, i - max_dist), min(len2, i + max_dist + 1)):
+            if s1[i] == s2[j] and not matched2[j]:
+                matched1[i] = True
+                matched2[j] = True
+                match += 1
+                break
+    if match == 0:
+        return 0.0
+    t = 0
+    point = 0
+    for i in range(len1):
+        if matched1[i]:
+            while not matched2[point]:
+                point += 1
+            if s1[i] != s2[point]:
+                t += 1
+            point += 1
+    t //= 2
+    return (match / len1 + match / len2 + (match - t) / match) / 3.0
+
+
+@pandas_udf(T.DoubleType())
+def jaro_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_py(x if x is not None else "", y if y is not None else "")
+         for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+def _sigma(claims_w: DataFrame) -> DataFrame:
+    """σ per (fact, distinct value): Σ τ of claimers. vkey is the grouping
+    value (string repr; numeric facts keyed by their double value)."""
+    return (
+        claims_w.groupBy(*FACT_KEYS, "vkey")
+        .agg(
+            F.sum("tau").alias("sigma"),
+            F.first("value_str").alias("value_str"),
+            F.first("value_num").alias("value_num"),
+            F.first("branch").alias("branch"),
+        )
+    )
+
+
+def _tmp_scores(sigma: DataFrame, rho: float, theta: float) -> DataFrame:
+    """Implication-adjusted support per (fact, value)."""
+    base = (1 - rho * (1 - theta)) * F.col("sigma")
+
+    sj = sigma.filter(F.col("branch") == "jaro")
+    sq = sigma.filter(F.col("branch") == "qty")
+    so = sigma.filter(F.col("branch") == "none").withColumn("tmp", F.col("sigma"))
+
+    other_j = sj.select(
+        *FACT_KEYS,
+        F.col("vkey").alias("vkey2"),
+        F.col("value_str").alias("vstr2"),
+        F.col("sigma").alias("sigma2"),
+    )
+    pairs_j = (
+        sj.join(other_j, FACT_KEYS)
+        .filter(F.col("vkey") != F.col("vkey2"))
+        .withColumn("sim", jaro_udf(F.col("value_str"), F.col("vstr2")))
+        .groupBy(*FACT_KEYS, "vkey")
+        .agg(F.sum(F.col("sigma2") * (F.exp(-F.col("sim")) - F.lit(theta))).alias("loss_sum"))
+    )
+    tmp_j = (
+        sj.join(pairs_j, [*FACT_KEYS, "vkey"], "left")
+        .withColumn("tmp", base + rho * F.coalesce("loss_sum", F.lit(0.0)))
+        .drop("loss_sum")
+    )
+
+    other_q = sq.select(
+        *FACT_KEYS,
+        F.col("vkey").alias("vkey2"),
+        F.col("value_num").alias("vnum2"),
+        F.col("sigma").alias("sigma2"),
+    )
+    pairs_q = (
+        sq.join(other_q, FACT_KEYS)  # quantity branch includes u == v
+        .groupBy(*FACT_KEYS, "vkey")
+        .agg(
+            F.sum(
+                F.col("sigma2")
+                * (F.exp(-F.abs(F.col("vnum2") - F.col("value_num"))) - F.lit(theta))
+            ).alias("loss_sum")
+        )
+    )
+    tmp_q = (
+        sq.join(pairs_q, [*FACT_KEYS, "vkey"], "left")
+        .withColumn("tmp", base + rho * F.coalesce("loss_sum", F.lit(0.0)))
+        .drop("loss_sum")
+    )
+
+    cols = [*FACT_KEYS, "vkey", "value_str", "value_num", "tmp"]
+    return (
+        tmp_j.select(cols)
+        .unionByName(tmp_q.select(cols))
+        .unionByName(so.select(cols))
+    )
+
+
+def fuse_truthfinder(
+    claims: DataFrame,
+    max_itr: int = 10,
+    rho: float = 0.5,
+    gamma: float = 0.3,
+    theta: float = 0.0,
+) -> FusionResult:
+    branch = (
+        F.when(F.col("claim_type").isin("string", "entity"), F.lit("jaro"))
+        .when(F.col("claim_type") == "quantity", F.lit("qty"))
+        .otherwise(F.lit("none"))
+    )
+    vkey = F.when(
+        F.col("value_num").isNotNull(), F.col("value_num").cast("string")
+    ).otherwise(F.col("value_str"))
+    prepared = claims.withColumn("branch", branch).withColumn("vkey", vkey).cache()
+
+    tau = checkpoint(
+        prepared.select(*WEIGHT_KEYS)
+        .distinct()
+        .withColumn("tau", F.lit(-math.log(1 - 0.9)))
+    )
+
+    scores = None
+    for _ in range(max_itr):
+        claims_w = prepared.join(F.broadcast(tau), WEIGHT_KEYS)
+        scores = checkpoint(
+            _tmp_scores(_sigma(claims_w), rho, theta).withColumn(
+                "s", 1.0 / (1.0 + F.exp(-gamma * F.col("tmp")))
+            )
+        )
+        per_claim = prepared.join(
+            scores.select(*FACT_KEYS, "vkey", "s"), [*FACT_KEYS, "vkey"]
+        )
+        tau = checkpoint(
+            per_claim.groupBy(*WEIGHT_KEYS)
+            .agg(F.avg("s").alias("t"))
+            .select(
+                *WEIGHT_KEYS,
+                F.when(F.col("t") >= 1.0, F.lit(math.log(1e10)))
+                .otherwise(-F.log(1.0 - F.col("t")))
+                .alias("tau"),
+            )
+        )
+
+    assert scores is not None, "max_itr must be >= 1"
+    truth = argmax_per_fact(scores, F.col("s"), "vkey").select(
+        *FACT_KEYS,
+        "value_str",
+        "value_num",
+        F.col("value_num").isNotNull().alias("is_numeric"),
+    )
+    return FusionResult(
+        truth=truth, weights=tau.select(*WEIGHT_KEYS, F.col("tau").alias("weight"))
+    )
