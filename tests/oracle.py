@@ -160,3 +160,171 @@ def truthfinder_oracle(
             # ties: sorted() puts smaller first; max keeps FIRST max -> min value
         weights.update({(b, s): tau[s] for s in sources})
     return truth, weights
+
+
+def _chi2_cdf_0025(k: int) -> float:
+    """chi2.cdf(0.025, k) = P(k/2, 0.0125) by series (matches engine UDF)."""
+    a = k / 2.0
+    x = 0.0125
+    term = math.exp(a * math.log(x) - x - math.lgamma(a + 1.0))
+    total = term
+    for n in range(1, 60):
+        term *= x / (a + n)
+        total += term
+        if term < 1e-18:
+            break
+    return total
+
+
+def catd_oracle(claims: pd.DataFrame, max_itr: int = 10, tol: float | None = 0.1):
+    """Numeric-only CATD; convergence matches the engine's global-err rule."""
+    qc = claims[claims.claim_type == "quantity"]
+    facts = _facts(qc)
+    buckets = sorted({k[0] for k in facts})
+    truth_out, weights_out = {}, {}
+    # engine convergence is global across buckets -> single joint loop
+    all_sources = sorted({(k[0], s) for k, rows in facts.items() for s, _, _ in rows})
+    counts = {bs: 0 for bs in all_sources}
+    for key, rows in facts.items():
+        for s in {s for s, _, _ in rows}:
+            counts[(key[0], s)] += 1
+    t = {k: float(np.median([v for _, v, _ in rows])) for k, rows in facts.items()}
+    w = dict.fromkeys(all_sources, 1.0)
+    prev_w = None
+    for _ in range(max_itr):
+        raw = dict.fromkeys(all_sources, 0.0)
+        for key, rows in facts.items():
+            for s, v, _ in rows:
+                raw[(key[0], s)] += (v - t[key]) ** 2
+        w = {
+            bs: (_chi2_cdf_0025(counts[bs]) / raw[bs] if raw[bs] > 1e-9 else 1e10)
+            for bs in all_sources
+        }
+        t = {
+            k: sum(w[(k[0], s)] * v for s, v, _ in rows)
+            / sum(w[(k[0], s)] for s, _, _ in rows)
+            for k, rows in facts.items()
+        }
+        if tol is not None and prev_w is not None:
+            num = math.sqrt(sum((prev_w[bs] - w[bs]) ** 2 for bs in all_sources))
+            den = math.sqrt(sum(v * v for v in prev_w.values()))
+            if den > 0 and num / den <= tol:
+                break
+        prev_w = dict(w)
+    for k, rows in facts.items():
+        cands = sorted({v for _, v, _ in rows})
+        truth_out[k] = min(cands, key=lambda c: (abs(c - t[k]), c))
+    weights_out.update(w)
+    return truth_out, weights_out
+
+
+def gtm_oracle(
+    claims: pd.DataFrame,
+    max_itr: int = 20,
+    tol: float | None = 1e-3,
+    alpha: float = 10.0,
+    beta: float = 10.0,
+    mu0: float = 0.0,
+    sigma0: float = 1.0,
+    delta0: float = 1.0,
+):
+    qc = claims[claims.claim_type == "quantity"]
+    facts = _facts(qc)
+    all_sources = sorted({(k[0], s) for k, rows in facts.items() for s, _, _ in rows})
+    prior = {k: float(np.median([v for _, v, _ in rows])) for k, rows in facts.items()}
+    kept = {
+        k: [
+            (s, v)
+            for s, v, _ in rows
+            if prior[k] == 0 or abs(v - prior[k]) / abs(prior[k]) <= delta0
+        ]
+        for k, rows in facts.items()
+    }
+    sigma_e = {k: float(np.std([v for _, v in kept[k]])) for k in kept}
+    cn = {k: [(s, v - prior[k]) for s, v in kept[k]] for k in kept}
+    counts = dict.fromkeys(all_sources, 0)
+    for k, rows in cn.items():
+        for s in {s for s, _ in rows}:
+            counts[(k[0], s)] += 1
+
+    def maximization(t):
+        ssum = dict.fromkeys(all_sources, 0.0)
+        for k, rows in cn.items():
+            for s, v in rows:
+                ssum[(k[0], s)] += 2 * beta + (v - t[k]) ** 2
+        return {
+            bs: ssum[bs] / (2 * (alpha + 1) + counts[bs])
+            for bs in all_sources
+            if counts[bs] > 0
+        }
+
+    t = dict(prior)
+    sigma2 = maximization(t)
+    prev_t = None
+    for _ in range(max_itr):
+        t = {
+            k: (
+                mu0 / sigma0**2
+                + sum(v / sigma2[(k[0], s)] for s, v in rows)
+            )
+            / (1 / sigma0**2 + sum(1 / sigma2[(k[0], s)] for s, _ in rows))
+            for k, rows in cn.items()
+        }
+        sigma2 = maximization(t)
+        if tol is not None and prev_t is not None:
+            num = math.sqrt(sum((prev_t[k] - t[k]) ** 2 for k in t))
+            den = math.sqrt(sum(v * v for v in prev_t.values()))
+            if den > 0 and num / den <= tol:
+                break
+        prev_t = dict(t)
+    truth_out = {}
+    for k, rows in facts.items():
+        est = t[k] * sigma_e[k] + prior[k]
+        cands = sorted({v for _, v, _ in rows})
+        truth_out[k] = min(cands, key=lambda c: (abs(c - est), c))
+    return truth_out, sigma2
+
+
+def accu_oracle(claims: pd.DataFrame, max_itr: int = 100, init_accuracy: float = 0.8):
+    facts = _facts(claims)
+    # one claim per (source, fact): smallest value (engine pin); vkey=str
+    def vk(v):
+        return str(float(v)) if isinstance(v, float) else v
+
+    dedup = {}
+    for k, rows in facts.items():
+        per_src = {}
+        for s, v, _ in sorted(rows, key=lambda r: vk(r[1])):
+            per_src.setdefault(s, v)
+        dedup[k] = sorted(per_src.items())
+    all_sources = sorted({(k[0], s) for k, rows in dedup.items() for s, _ in rows})
+    acc = dict.fromkeys(all_sources, init_accuracy)
+    truth = {}
+    for _ in range(max_itr):
+        for k, rows in dedup.items():
+            vals = sorted({vk(v) for _, v in rows})
+            n = len(vals)
+            if n == 1:
+                truth[k] = rows[0][1]
+                continue
+            scores = {}
+            by_key = {}
+            for s, v in rows:
+                a = acc[(k[0], s)]
+                scores[vk(v)] = scores.get(vk(v), 0.0) + math.log((n - 1) * a / (1 - a))
+                by_key.setdefault(vk(v), v)
+            best = max(sorted(scores), key=lambda c: scores[c])
+            truth[k] = by_key[best]
+        new_acc = {}
+        tot = dict.fromkeys(all_sources, 0)
+        cor = dict.fromkeys(all_sources, 0)
+        for k, rows in dedup.items():
+            for s, v in rows:
+                tot[(k[0], s)] += 1
+                if vk(v) == vk(truth[k]):
+                    cor[(k[0], s)] += 1
+        for bs in all_sources:
+            a = cor[bs] / tot[bs] if tot[bs] else 0.0
+            new_acc[bs] = 0.99 if a == 1.0 else (0.01 if a == 0.0 else a)
+        acc = new_acc
+    return truth, acc

@@ -173,7 +173,12 @@ def fuse_truthfinder(
     vkey = F.when(
         F.col("value_num").isNotNull(), F.col("value_num").cast("string")
     ).otherwise(F.col("value_str"))
-    prepared = claims.withColumn("branch", branch).withColumn("vkey", vkey).cache()
+    # Severed + materialized once (see fuse_crh note on cache vs checkpoint).
+    prepared = checkpoint(
+        claims.select(*FACT_KEYS, "source", "value_str", "value_num", "claim_type")
+        .withColumn("branch", branch)
+        .withColumn("vkey", vkey)
+    )
 
     tau = checkpoint(
         prepared.select(*WEIGHT_KEYS)
@@ -181,13 +186,14 @@ def fuse_truthfinder(
         .withColumn("tau", F.lit(-math.log(1 - 0.9)))
     )
 
+    # Per iteration only the tiny tau table is materialized; claim scores
+    # stay lazy (constant-depth lineage over cached claims + checkpointed
+    # tau) — one job per iteration.
     scores = None
     for _ in range(max_itr):
         claims_w = prepared.join(F.broadcast(tau), WEIGHT_KEYS)
-        scores = checkpoint(
-            _tmp_scores(_sigma(claims_w), rho, theta).withColumn(
-                "s", 1.0 / (1.0 + F.exp(-gamma * F.col("tmp")))
-            )
+        scores = _tmp_scores(_sigma(claims_w), rho, theta).withColumn(
+            "s", 1.0 / (1.0 + F.exp(-gamma * F.col("tmp")))
         )
         per_claim = prepared.join(
             scores.select(*FACT_KEYS, "vkey", "s"), [*FACT_KEYS, "vkey"]

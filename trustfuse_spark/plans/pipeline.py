@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 from trustfuse_spark.functions.preprocess import normalize_claim_value
 from trustfuse_spark.operators.extract import extract_claims, extract_claims_arrow
+from trustfuse_spark.operators.fusion.accu import fuse_accu
 from trustfuse_spark.operators.fusion.base import FusionResult
+from trustfuse_spark.operators.fusion.catd import fuse_catd
 from trustfuse_spark.operators.fusion.crh import fuse_crh
+from trustfuse_spark.operators.fusion.gtm import fuse_gtm
 from trustfuse_spark.operators.fusion.majority import fuse_majority
 from trustfuse_spark.operators.fusion.truthfinder import fuse_truthfinder
 
@@ -73,6 +76,9 @@ MODELS = {
     "majority": fuse_majority,
     "crh": fuse_crh,
     "truthfinder": fuse_truthfinder,
+    "catd": fuse_catd,
+    "gtm": fuse_gtm,
+    "accu": fuse_accu,
 }
 
 
@@ -100,7 +106,16 @@ def truth_to_triples(truth: DataFrame) -> DataFrame:
 def run_pipeline(
     docs: DataFrame, model: str = "crh", use_arrow_udf: bool = False, **kwargs
 ) -> tuple[DataFrame, FusionResult]:
-    """docs -> (triples, FusionResult). The flagship end-to-end path."""
+    """docs -> (triples, FusionResult). The flagship end-to-end path.
+
+    Claims are slimmed to the fusion columns and cached once — the iterative
+    models re-read this cache instead of re-running extraction (provenance
+    columns doc_id/media_refs live in the claims stage output, re-joinable by
+    fact key when needed).
+    """
     claims = docs_to_claims(docs, use_arrow_udf=use_arrow_udf)
-    result = fuse(claims, model=model, **kwargs)
+    slim = claims.select(
+        "bucket_id", "source", "entity", "attr", "value_str", "value_num", "claim_type"
+    )
+    result = fuse(slim, model=model, **kwargs)
     return truth_to_triples(result.truth), result
