@@ -328,3 +328,145 @@ def accu_oracle(claims: pd.DataFrame, max_itr: int = 100, init_accuracy: float =
             new_acc[bs] = 0.99 if a == 1.0 else (0.01 if a == 0.0 else a)
         acc = new_acc
     return truth, acc
+
+
+def kdem_oracle(
+    claims: pd.DataFrame,
+    max_itr: int = 99,
+    tol: float = 1e-5,
+    h: float = -1.0,
+):
+    """Gaussian-kernel KDEm matching the engine (global h from first sorted
+    fact; global |Δj/j| stop; truth = argmax-w claim, ties smaller value)."""
+    from trustfuse_spark.operators.fusion.kdem import mad_bandwidth
+
+    qc = claims[claims.claim_type == "quantity"]
+    facts = dict(sorted(_facts(qc).items()))
+    if h < 0:
+        first = next(iter(facts))
+        h = mad_bandwidth(
+            np.array(sorted(v for _, v, _ in facts[first]), dtype="float64")
+        )
+
+    def kern(u):
+        return np.exp(-(u**2)) / np.sqrt(2 * np.pi)
+
+    all_sources = sorted({(k[0], s) for k, rows in facts.items() for s, _, _ in rows})
+    counts = dict.fromkeys(all_sources, 0)
+    for k, rows in facts.items():
+        for s in {s for s, _, _ in rows}:
+            counts[(k[0], s)] += 1
+    # per fact: sorted (source, value) claim arrays
+    arr = {
+        k: sorted((s, v) for s, v, _ in rows) for k, rows in facts.items()
+    }
+    w = {k: np.ones(len(v)) / len(v) for k, v in arr.items()}
+    kmat = {}
+    for k, rows in arr.items():
+        x = np.array([v for _, v in rows], dtype="float64")
+        kmat[k] = kern((x[:, None] - x[None, :]) / h) if h > 0 else np.full((len(x), len(x)), kern(np.array(0.0)))
+
+    prev_j = None
+    c = None
+    for _ in range(max_itr):
+        norms = {}
+        for k in arr:
+            kw = kmat[k] @ w[k]
+            nm = np.diag(kmat[k]) - 2 * kw + float(w[k] @ kw)
+            norms[k] = np.where(nm < 0, 0.0, nm)
+        rtn = dict.fromkeys(all_sources, 0.0)
+        for k, rows in arr.items():
+            for (s, _), nv in zip(rows, norms[k]):
+                rtn[(k[0], s)] += nv / len(rows)
+        jb = {}
+        for (b, s), v in rtn.items():
+            jb[b] = jb.get(b, 0.0) + v
+        c = {
+            bs: (-math.log((rtn[bs] / counts[bs]) / jb[bs[0]]) if rtn[bs] > 0 else 0.0)
+            for bs in all_sources
+        }
+        for k, rows in arr.items():
+            wi = np.array(
+                [c[(k[0], s)] if nv > 0 else 0.0 for (s, _), nv in zip(rows, norms[k])]
+            )
+            t1 = wi.sum()
+            if t1 > 0:
+                w[k] = wi / t1
+            else:
+                wi = np.array([1.0 if nv == 0 else 0.0 for nv in norms[k]])
+                w[k] = wi / wi.sum()
+        if prev_j is not None:
+            errs = [abs((jb[b] - prev_j[b]) / prev_j[b]) for b in jb if prev_j.get(b)]
+            if errs and max(errs) <= tol:
+                prev_j = jb
+                break
+        prev_j = jb
+    truth = {}
+    for k, rows in arr.items():
+        best = max(
+            sorted(range(len(rows)), key=lambda i: rows[i][1]),
+            key=lambda i: w[k][i],
+        )
+        truth[k] = rows[best][1]
+    return truth, c
+
+
+def slimfast_oracle(
+    claims: pd.DataFrame,
+    max_itr: int = 10,
+    alpha: float = 0.01,
+    reg: float = 0.01,
+    init_accuracy: float = 0.8,
+):
+    facts = _facts(claims)
+
+    def vk(v):
+        return str(float(v)) if isinstance(v, float) else v
+
+    dedup = {}
+    for k, rows in facts.items():
+        per_src = {}
+        for s, v, _ in sorted(rows, key=lambda r: vk(r[1])):
+            per_src.setdefault(s, v)
+        dedup[k] = sorted(per_src.items())
+    buckets = sorted({k[0] for k in dedup})
+    wsh = {b: -math.log(1.0 / init_accuracy - 1.0) for b in buckets}
+    truth = {}
+    for _ in range(max_itr):
+        for k, rows in dedup.items():
+            vals = sorted({vk(v) for _, v in rows})
+            n = len(vals)
+            if n == 1:
+                truth[k] = rows[0][1]
+                continue
+            a = 1.0 / (1.0 + math.exp(-wsh[k[0]]))
+            a = 0.99 if a >= 1.0 else (0.01 if a <= 0.0 else a)
+            scores, by_key = {}, {}
+            for s, v in rows:
+                scores[vk(v)] = scores.get(vk(v), 0.0) + math.log((n - 1) * a / (1 - a))
+                by_key.setdefault(vk(v), v)
+            best = max(sorted(scores), key=lambda cc: scores[cc])
+            truth[k] = by_key[best]
+        # SGD per bucket, claims sorted by (entity, attr, vkey, source)
+        per_bucket = {b: [] for b in buckets}
+        for k, rows in dedup.items():
+            for s, v in rows:
+                per_bucket[k[0]].append((k[1], k[2], vk(v), s, vk(v) == vk(truth[k])))
+        for b in buckets:
+            w = wsh[b]
+            for _, _, _, _, correct in sorted(per_bucket[b]):
+                if correct:
+                    w -= alpha * (-1.0 / (math.exp(-w) + 1.0))
+                else:
+                    w -= alpha * (1.0 / (1.0 + math.exp(-w)))
+            if w > 0:
+                w = max(0.0, w - alpha * reg)
+            elif w < 0:
+                w = min(0.0, w + alpha * reg)
+            wsh[b] = w
+    weights = {}
+    for k, rows in dedup.items():
+        for s, _ in rows:
+            a = 1.0 / (1.0 + math.exp(-wsh[k[0]]))
+            weights[(k[0], s)] = 0.99 if a >= 1.0 else (0.01 if a <= 0.0 else a)
+    return truth, weights

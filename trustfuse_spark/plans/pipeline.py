@@ -17,7 +17,10 @@ from trustfuse_spark.operators.fusion.base import FusionResult
 from trustfuse_spark.operators.fusion.catd import fuse_catd
 from trustfuse_spark.operators.fusion.crh import fuse_crh
 from trustfuse_spark.operators.fusion.gtm import fuse_gtm
+from trustfuse_spark.operators.fusion.kdem import fuse_kdem
+from trustfuse_spark.operators.fusion.ltm import fuse_ltm
 from trustfuse_spark.operators.fusion.majority import fuse_majority
+from trustfuse_spark.operators.fusion.slimfast import fuse_slimfast
 from trustfuse_spark.operators.fusion.truthfinder import fuse_truthfinder
 
 ATTR_TYPE_DEFAULT = "string"  # untyped attributes fuse categorically (model.py:159-165)
@@ -79,6 +82,9 @@ MODELS = {
     "catd": fuse_catd,
     "gtm": fuse_gtm,
     "accu": fuse_accu,
+    "kdem": fuse_kdem,
+    "slimfast": fuse_slimfast,
+    "ltm": fuse_ltm,
 }
 
 
