@@ -1,0 +1,193 @@
+"""Tests for bucketize / dedup / cc / linking / textstats / ann / multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from trustfuse_spark.operators.ann import brute_force_topk, ivf_topk
+from trustfuse_spark.operators.bucketize import (
+    cumulative_bucket,
+    gt_carry_forward,
+    presence_intervals,
+    sessionize,
+    upsert_in_bucket,
+)
+from trustfuse_spark.operators.cc import connected_components
+from trustfuse_spark.operators.dedup import (
+    exact_duplicates,
+    near_duplicates_minhash,
+    simhash_near_dups,
+)
+from trustfuse_spark.operators.linking import candidate_links, canonicalize
+from trustfuse_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_table_from_refs,
+)
+from trustfuse_spark.operators.textstats import doc_stats
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        # entity A: src1 re-claims attr p after > alpha -> new bucket
+        ("s1", "A", "p", "2020-01-01 00:00:00"),
+        ("s1", "A", "p", "2020-01-20 00:00:00"),  # gap 19d > 10d alpha
+        ("s2", "A", "q", "2020-01-20 01:00:00"),
+        # entity B: single burst -> one bucket
+        ("s1", "B", "p", "2020-01-01 00:00:00"),
+        ("s2", "B", "p", "2020-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "entity", "attr", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        (r["entity"], r["source"], str(r["ts"])): r["bucket_id"]
+        for r in sessionize(df).collect()
+    }
+    assert out[("A", "s1", "2020-01-01 00:00:00")] == 0
+    assert out[("A", "s1", "2020-01-20 00:00:00")] == 1
+    assert out[("A", "s2", "2020-01-20 01:00:00")] == 1
+    assert out[("B", "s1", "2020-01-01 00:00:00")] == 0
+    assert out[("B", "s2", "2020-01-02 00:00:00")] == 0
+
+
+def test_upsert_and_cumulative(spark):
+    rows = [
+        (0, "s1", "A", "p", "v1", "2020-01-01 00:00:00"),
+        (0, "s1", "A", "p", "v2", "2020-01-02 00:00:00"),  # upsert wins
+        (1, "s1", "A", "p", "v3", "2020-02-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["bucket_id", "source", "entity", "attr", "value_str", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    up = upsert_in_bucket(df)
+    assert up.count() == 2
+    assert {r["value_str"] for r in up.filter("bucket_id = 0").collect()} == {"v2"}
+    assert cumulative_bucket(df, 0).count() == 2
+    assert cumulative_bucket(df, 1).count() == 3
+
+
+def test_gt_carry_forward(spark):
+    rows = [
+        (0, "A", "p", ["x"]),
+        (1, "A", "p", None),
+        (2, "A", "p", ["y"]),
+    ]
+    df = spark.createDataFrame(rows, "bucket_id int, entity string, attr string, gt_values array<string>")
+    out = {r["bucket_id"]: r["gt_values"] for r in gt_carry_forward(df).collect()}
+    assert out[0] == ["x"] and out[1] == ["x"] and out[2] == ["y"]
+
+
+def test_presence_intervals(spark):
+    day = 86400
+    rows = []
+    # value v1 present days 0..120 (observations every 10 days)
+    for d in range(0, 121, 10):
+        rows.append(("A", "p", "v1", d * day))
+    # value v2 present days 0..20 only (short -> low presence)
+    for d in range(0, 21, 10):
+        rows.append(("A", "p", "v2", d * day))
+    df = spark.createDataFrame(rows, ["entity", "attr", "value_str", "sec"]).withColumn(
+        "ts", F.to_timestamp(F.from_unixtime(F.col("sec") + 1577836800))
+    )
+    out = {r["value_str"]: r["accepted"] for r in presence_intervals(df).collect()}
+    assert out["v1"] is True
+    assert out.get("v2", False) is False or "v2" not in out
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8), (7, 6)], ["src", "dst"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == comp[7] == 5
+    # salted variant identical
+    comp2 = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, salt_hubs=True).collect()
+    }
+    assert comp == comp2
+
+
+def test_dedup_exact_and_near(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ex = exact_duplicates(df, "doc_id", "text")
+    reps = {r["rep_id"]: r["n_copies"] for r in ex.collect()}
+    assert reps[1] == 2
+    near = near_duplicates_minhash(df, "doc_id", "text", threshold=0.7)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs
+    assert not any(4 in p for p in got_pairs)
+    sh = simhash_near_dups(df, "doc_id", "text", max_hamming=6)
+    sh_pairs = {(r["id_a"], r["id_b"]) for r in sh.collect()}
+    assert (1, 2) in sh_pairs
+    assert not any(4 in p for p in sh_pairs)
+
+
+def test_linking_canonicalize(spark):
+    mentions = spark.createDataFrame(
+        [("Barack Obama",), ("Barack Obamaa",), ("B. Obama",), ("Angela Merkel",)],
+        ["surface"],
+    )
+    links = candidate_links(mentions, min_jaro=0.85)
+    canon = canonicalize(mentions, links)
+    out = {r["surface"]: r["canonical_id"] for r in canon.collect()}
+    assert out["Barack Obama"] == out["Barack Obamaa"]
+    assert out["Angela Merkel"] != out["Barack Obama"]
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house of cards"),
+            (2, "der Hund und die Katze ist ein Tier"),
+            (3, "!!! ??? ###"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in doc_stats(df).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[1]["quality_score"] > out[3]["quality_score"]
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["fingerprint"] is not None
+
+
+def test_ann_brute_vs_ivf(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    c = df.filter("vec_id >= 3")
+    bf = brute_force_topk(q, c, k=5)
+    assert bf.groupBy("qid").count().collect()[0]["count"] == 5
+    ivf = ivf_topk(q, c, k=5, ncells=4, nprobe=4)  # nprobe=ncells -> exact
+    bf_set = {(r["qid"], r["cid"]) for r in bf.collect()}
+    ivf_set = {(r["qid"], r["cid"]) for r in ivf.collect()}
+    assert bf_set == ivf_set
+
+
+def test_multimodal_plumbing(spark):
+    refs = spark.createDataFrame([("mref://1",), ("mref://2",), ("mref://3",)], ["media_ref"])
+    media = media_table_from_refs(refs)
+    assert media.count() == 3
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 3 and all(len(r["feature"]) == 8 for r in rows)
+    # deterministic across runs
+    again = {r["media_ref"]: r["feature"] for r in extract_features(media, dim=8).collect()}
+    for r in rows:
+        assert again[r["media_ref"]] == r["feature"]
+    plan = frame_sample_plan(media, every_ms=10000)
+    assert plan.count() >= 0  # only videos sampled
+    with pytest.raises(Exception):
+        extract_features(media, fake=False).collect()

@@ -1,0 +1,167 @@
+"""Temporal bucketization — the reference's session-window semantics as
+window expressions (batch over a table; see streaming/sessions.py for the
+Structured Streaming twin).
+
+Reference rules (generate_buckets.py:171-270, SURVEY §2.9):
+  * a claim opens/extends its entity's current bucket;
+  * the bucket closes when the same source re-claims a property it already
+    claimed in the open bucket AND the gap since its previous claim > alpha
+    (10 days), or the entity was inactive > delta (2 years);
+  * a source re-modifying its own value within alpha replaces (upserts) it;
+  * leftovers flush as the entity's final bucket.
+
+Expression mapping: per-claim close flags from lag() windows, then a running
+sum per entity = bucket index. The flush-leftovers rule needs no separate
+path. (The reference's exact closure also consults "already claimed in the
+open bucket", which is self-referential state; the gap-based flag is the
+standard sessionization equivalent — a claim stream where each source claims
+a property at most once per alpha-window produces identical buckets.)
+
+Also here: in-bucket upsert, cumulative bucket views, GT carry-forward,
+reverse mapping, presence-interval auto-labeling (automatic_labeling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ALPHA_S = 864_000  # 10 days   (generate_buckets.py:71-74)
+DELTA_S = 63_072_000  # 2 years
+GAMMA_S = 2_592_000  # 30 days  (automatic_labeling.py:467-497)
+BETA_S = 2_592_000
+
+
+def sessionize(
+    claims: DataFrame,
+    alpha_s: int = ALPHA_S,
+    delta_s: int = DELTA_S,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign bucket_id per entity from claim timestamps.
+
+    Input: long claims with (source, entity, attr, ts). Output adds
+    bucket_id (0-based, per entity, chronological).
+    """
+    ts = F.unix_timestamp(F.col(ts_col))
+    w_ent = Window.partitionBy("entity").orderBy(ts_col, "source", "attr")
+    w_spa = Window.partitionBy("entity", "source", "attr").orderBy(ts_col)
+    ent_gap = ts - F.lag(ts).over(w_ent.orderBy(F.col(ts_col)))
+    spa_gap = ts - F.lag(ts).over(w_spa)
+    close = (
+        F.when(ent_gap > delta_s, 1)
+        .when(spa_gap > alpha_s, 1)
+        .otherwise(0)
+    )
+    flagged = claims.withColumn("__close", close)
+    bucket = (
+        F.sum("__close")
+        .over(
+            Window.partitionBy("entity")
+            .orderBy(ts_col, "source", "attr")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("int")
+    )
+    return flagged.withColumn("bucket_id", bucket).drop("__close")
+
+
+def upsert_in_bucket(claims: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Same source re-modifying its value within a bucket keeps only the
+    latest claim (generate_buckets.py:198-203)."""
+    w = Window.partitionBy("bucket_id", "entity", "attr", "source").orderBy(
+        F.col(ts_col).desc()
+    )
+    return (
+        claims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cumulative_bucket(claims: DataFrame, upto: int) -> DataFrame:
+    """Dynamic-dataset semantics: bucket i = union of buckets <= i
+    (dataset.py:362-379) — a filter, never a physical copy."""
+    return claims.filter(F.col("bucket_id") <= upto)
+
+
+def gt_carry_forward(gt: DataFrame) -> DataFrame:
+    """Missing GT cells inherit the previous bucket's value per (entity,
+    attr) (complete_gt, dataset.py:36-51) — last non-null over the bucket
+    order."""
+    w = (
+        Window.partitionBy("entity", "attr")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return gt.withColumn(
+        "gt_values", F.last("gt_values", ignorenulls=True).over(w)
+    )
+
+
+def reverse_map(
+    truth: DataFrame, seed_claims: DataFrame, order_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Map fused (preprocessed) values back to their original seed rendering
+    (reverse_mapping, dataset.py:191-256): find a claim row whose
+    preprocessed value equals the fused value, take its seed value — first
+    match wins, pinned by order_cols (the reference pins by positional index,
+    .iloc[0], dataset.py:239/247).
+
+    seed_claims must carry (bucket_id, entity, attr, value_str [preprocessed
+    key], seed_value [original rendering]) plus order_cols.
+    """
+    w = Window.partitionBy("bucket_id", "entity", "attr", "value_str").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    first_seed = (
+        seed_claims.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("bucket_id", "entity", "attr", "value_str", "seed_value")
+    )
+    return truth.join(
+        first_seed, ["bucket_id", "entity", "attr", "value_str"], "left"
+    ).withColumn("formatted_value", F.coalesce("seed_value", "value_str"))
+
+
+def presence_intervals(
+    events: DataFrame,
+    gamma_s: int = GAMMA_S,
+    beta_s: int = BETA_S,
+    accept_ratio: float = 0.75,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Auto-labeling presence intervals (automatic_labeling.py:80-165,
+    486-510): per (entity, attr, value) merge observation timestamps into
+    intervals closing on gaps > gamma, drop intervals spanning < beta, then
+    accept values whose total presence / max presence over the attr >
+    accept_ratio.
+
+    Pure gaps-and-islands windows — no UDF.
+    """
+    ts = F.unix_timestamp(F.col(ts_col))
+    keys = ["entity", "attr", "value_str"]
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap_break = (
+        (ts - F.lag(ts).over(w) > gamma_s).cast("int")
+    )
+    island = F.sum(F.coalesce(gap_break, F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intervals = (
+        events.withColumn("__island", island)
+        .groupBy(*keys, "__island")
+        .agg(
+            F.min(ts).alias("start_s"),
+            F.max(ts).alias("end_s"),
+        )
+        .filter(F.col("end_s") - F.col("start_s") >= beta_s)
+    )
+    presence = intervals.groupBy(*keys).agg(
+        F.sum(F.col("end_s") - F.col("start_s")).alias("presence_s")
+    )
+    w_attr = Window.partitionBy("entity", "attr")
+    return presence.withColumn(
+        "accepted",
+        F.col("presence_s") / F.max("presence_s").over(w_attr) > accept_ratio,
+    )

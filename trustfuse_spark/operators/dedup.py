@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale corpora.
+
+All operators are pure DataFrame ops over built-in hash functions — no
+Python in the hot path. They serve two masters:
+  * entity-linking blocking (operators/linking.py) — candidate pairs from
+    MinHash-LSH over surface-form shingles;
+  * training-data pipeline dedup over the documents table (exact,
+    MinHash-LSH near-dup, SimHash, n-gram Jaccard, embedding cosine).
+
+Scale notes: every stage is a hash-partitioned groupBy/join; the LSH band
+join's fan-out is bounded by band-bucket sizes (cap with `max_bucket` to
+shed degenerate buckets — the standard guard against hot buckets at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Character n-gram shingle set per row: (id, shingle)."""
+    lowered = F.lower(F.col(text_col))
+    idxs = F.sequence(F.lit(0), F.greatest(F.length(lowered) - n, F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(F.transform(idxs, lambda i: lowered.substr(i + 1, F.lit(n))))
+        ).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(id, sig: array<long>) — k permutation-free MinHashes via seeded
+    xxhash64 (min over shingles of hash(shingle, seed_i))."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingle_df.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banding: equal band-slices hash to the same bucket -> candidate pairs
+    (id_a < id_b, deduplicated). Buckets larger than max_bucket are dropped
+    (degenerate shingle content; quadratic blowup guard)."""
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    sized = banded.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsize") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard."""
+    sizes = shingle_df.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(shingle_df.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            shingle_df.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), bands, num_hashes // bands
+    )
+    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact text dedup: group by content, representative = min id."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_copies"),
+            F.collect_list(id_col).alias("all_ids"),
+        )
+        .select("rep_id", "n_copies", F.sort_array("all_ids").alias("all_ids"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    token-hash bits. Pure expressions (explode + bit ops + agg)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
+    16-bit chunks (a pair within distance 3 shares at least one of 4 chunks)."""
+    sh = simhash(df, id_col, text_col).cache()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    lsh_planes: int = 12,
+) -> DataFrame:
+    """Embedding cosine near-dup pairs. Blocking: random-hyperplane (sign)
+    LSH sketch from seeded deterministic pseudo-planes, then exact cosine on
+    candidates sharing a sketch."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()["d"]
+    # deterministic pseudo-hyperplanes: sign of sum_j v_j * g(i,j), where
+    # g(i,j) = centered hash noise — seedable, no driver-side matrices
+    sketch_bits = []
+    for p in range(lsh_planes):
+        prod = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim_probe - 1)),
+                    lambda j: (
+                        (F.xxhash64(j.cast("string"), F.lit(p)) % 1000).cast("double") / 500.0 - 1.0
+                    ),
+                ),
+                lambda v, g: v.cast("double") * g,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sketch_bits.append(F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sketch = F.concat_ws("", *[b.cast("string") for b in sketch_bits])
+    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sketch"))
+    a = sk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sketch")
+    b = sk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sketch")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
