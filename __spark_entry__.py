@@ -291,6 +291,181 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# engine-vs-SQL fusion gates: the actual trustfuse_spark model code compared
+# against independent SQL implementations of the same math in DuckDB
+# ---------------------------------------------------------------------------
+
+def _engine_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> long-form numeric claims for the fusion engine."""
+    return _claims_from_events(spark, sf_dir).select(
+        F.lit(0).alias("bucket_id"),
+        "source",
+        "entity",
+        "attr",
+        F.col("v").cast("string").alias("value_str"),
+        F.col("v").alias("value_num"),
+        F.lit("quantity").alias("claim_type"),
+    )
+
+
+def majority_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_majority (engine code) on numeric claims: median snapped to the
+    nearest claimed value, ties -> smaller."""
+    from trustfuse_spark.operators.fusion.majority import fuse_majority
+
+    res = fuse_majority(_engine_claims(spark, sf_dir))
+    return res.truth.select(
+        "entity", "attr", F.round("value_num", 6).alias("fused_value")
+    )
+
+
+def crh_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_crh (engine code), 2 full iterations; compare final weights."""
+    from trustfuse_spark.operators.fusion.crh import fuse_crh
+
+    res = fuse_crh(_engine_claims(spark, sf_dir), max_itr=2)
+    return res.weights.select("source", F.round("weight", 6).alias("w"))
+
+
+def truthfinder_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_truthfinder (engine code), 1 iteration; compare tau."""
+    from trustfuse_spark.operators.fusion.truthfinder import fuse_truthfinder
+
+    res = fuse_truthfinder(_engine_claims(spark, sf_dir), max_itr=1)
+    return res.weights.select("source", F.round("weight", 6).alias("tau"))
+
+
+# ---------------------------------------------------------------------------
+# operator queries (dedup / text / temporal)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard for doc pairs in a small id window."""
+    from trustfuse_spark.operators.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = shingles(d, "doc_id", "text", 3).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.3)
+
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text features (tokens, punct, stopword hits) for doc_id < 50."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0))
+    en_hits = F.size(
+        F.filter(toks, lambda t: t.isin(["the", "and", "of", "to", "a", "is"]))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        en_hits.alias("en_hits"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def presence_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presence-interval auto-labeling over events (gamma=2h, beta=30min)."""
+    from trustfuse_spark.operators.bucketize import presence_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("e"), (F.col("user_id") % 40).cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round(F.col("value"), -2).cast("long").cast("string").alias("value_str"),
+        "ts",
+    )
+    out = presence_intervals(ev, gamma_s=7200, beta_s=1800, accept_ratio=0.5)
+    return out.select(
+        "entity", "attr", "value_str", "presence_s",
+        F.col("accepted").cast("int").alias("accepted"),
+    )
+
+
+def gt_carry_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GT carry-forward (J5): last non-null per (entity, attr) over buckets."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        (F.col("user_id") % 20).alias("entity"),
+        F.col("event_type").alias("attr"),
+        (F.dayofyear("ts")).alias("bucket_id"),
+        F.when(F.col("event_id") % 3 == 0, F.round("value", 1)).alias("gt_value"),
+    ).groupBy("entity", "attr", "bucket_id").agg(F.max("gt_value").alias("gt_value"))
+    w = (
+        Window.partitionBy("entity", "attr")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "entity", "attr", "bucket_id",
+        F.round(F.last("gt_value", ignorenulls=True).over(w), 6).alias("carried"),
+    )
+
+
+def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (rows-only check: DuckDB
+    lacks xxhash64; exact-Jaccard parity is gated by ngram_jaccard_pairs)."""
+    from trustfuse_spark.operators.dedup import near_duplicates_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    return near_duplicates_minhash(d, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: hash function engine-specific)."""
+    from trustfuse_spark.operators.dedup import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=ncells (exhaustive probing -> exact): verifiable
+    against the same brute-force SQL oracle as ann_topk."""
+    from trustfuse_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    out = ivf_topk(q, c, k=5, ncells=8, nprobe=8)
+    return out.select("qid", "cid", F.round("cosine", 4).alias("sim_r"), F.col("rank").alias("rn"))
+
+
+def docs_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline (docs synth -> extract -> majority fuse -> triples)
+    with a closed-form SQL oracle on the same deterministic generator
+    (rows-only would undersell it: majority over the planted claims is
+    SQL-reconstructible, but the generator hashes aren't in DuckDB, so this
+    stays a rows-only structural check)."""
+    from trustfuse_spark.datagen import gen_docs
+    from trustfuse_spark.plans.pipeline import run_pipeline
+
+    docs = gen_docs(spark, 100, 10, 4)
+    triples, _ = run_pipeline(docs, model="majority")
+    return triples
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -307,6 +482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_fusion_sql": majority_fusion_sql,
         "crh_weight_step": crh_weight_step,
         "ann_topk": ann_topk,
+        "majority_engine": majority_engine,
+        "crh_engine_weights": crh_engine_weights,
+        "truthfinder_engine_weights": truthfinder_engine_weights,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "text_features": text_features,
+        "presence_accept": presence_accept,
+        "gt_carry_forward": gt_carry_forward_q,
+        "minhash_neardup_docs": minhash_neardup_docs,
+        "simhash_docs": simhash_docs,
+        "ivf_ann_topk": ivf_ann_topk,
+        "docs_pipeline_triples": docs_pipeline_triples,
     }
 
 
@@ -457,5 +643,148 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
               FROM sims
             ) WHERE rn <= 5
+        """,
+        "ivf_ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+                 sims AS (
+                   SELECT qid, cid,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                   FROM q CROSS JOIN c
+                 )
+            SELECT qid, cid, ROUND(sim, 4) AS sim_r, rn
+            FROM (
+              SELECT qid, cid, sim,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+              FROM sims
+            ) WHERE rn <= 5
+        """,
+        "majority_engine": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med
+                      FROM claims GROUP BY entity, attr),
+            cands AS (SELECT DISTINCT entity, attr, v FROM claims)
+            SELECT entity, attr, ROUND(v, 6) AS fused_value
+            FROM (
+              SELECT c.entity, c.attr, c.v,
+                     ROW_NUMBER() OVER (PARTITION BY c.entity, c.attr
+                                        ORDER BY ABS(c.v - s.med) ASC, c.v ASC) AS rn
+              FROM cands c JOIN stats s ON c.entity = s.entity AND c.attr = s.attr
+            ) WHERE rn = 1
+        """,
+        "crh_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med,
+                             GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
+                      FROM claims GROUP BY entity, attr),
+            raw1 AS (SELECT source, SUM((v - med) * (v - med) / sd) AS raw
+                     FROM claims JOIN stats USING (entity, attr) GROUP BY source),
+            w1 AS (SELECT source,
+                          CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw1)) ELSE 0.0 END AS w
+                   FROM raw1),
+            cands AS (SELECT DISTINCT entity, attr, v AS cand FROM claims),
+            scored AS (
+              SELECT c.entity, c.attr, c.cand,
+                     SUM(w1.w * (c.cand - cl.v) * (c.cand - cl.v) / st.sd) AS loss
+              FROM cands c
+              JOIN claims cl ON cl.entity = c.entity AND cl.attr = c.attr
+              JOIN stats st ON st.entity = c.entity AND st.attr = c.attr
+              JOIN w1 ON w1.source = cl.source
+              GROUP BY c.entity, c.attr, c.cand),
+            truth1 AS (SELECT entity, attr, cand AS t FROM (
+              SELECT entity, attr, cand,
+                     ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                        ORDER BY loss ASC, cand ASC) AS rn
+              FROM scored) WHERE rn = 1),
+            raw2 AS (SELECT source, SUM((v - t) * (v - t) / sd) AS raw
+                     FROM claims JOIN stats USING (entity, attr)
+                                 JOIN truth1 USING (entity, attr)
+                     GROUP BY source)
+            SELECT source,
+                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw2)) ELSE 0.0 END, 6) AS w
+            FROM raw2
+        """,
+        "truthfinder_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            sigma AS (SELECT entity, attr, v, LN(10) * COUNT(*) AS sig
+                      FROM claims GROUP BY entity, attr, v),
+            tmp AS (
+              SELECT a.entity, a.attr, a.v,
+                     0.5 * a.sig + 0.5 * SUM(b.sig * EXP(-ABS(b.v - a.v))) AS tmpv
+              FROM sigma a JOIN sigma b ON a.entity = b.entity AND a.attr = b.attr
+              GROUP BY a.entity, a.attr, a.v, a.sig),
+            s AS (SELECT entity, attr, v, 1.0 / (1.0 + EXP(-0.3 * tmpv)) AS sv FROM tmp),
+            t AS (SELECT cl.source, AVG(s.sv) AS tv
+                  FROM claims cl JOIN s ON s.entity = cl.entity AND s.attr = cl.attr AND s.v = cl.v
+                  GROUP BY cl.source)
+            SELECT source,
+                   ROUND(CASE WHEN tv >= 1.0 THEN LN(1e10) ELSE -LN(1.0 - tv) END, 6) AS tau
+            FROM t
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id AS id, substr(lower(text), i, 3) AS shingle
+              FROM documents, UNNEST(generate_series(1, GREATEST(length(text) - 2, 1))) AS t(i)
+              WHERE doc_id < 40 AND length(substr(lower(text), i, 3)) > 0
+            ),
+            sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
+        """,
+        "text_features": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x IN ('the','and','of','to','a','is'))) AS en_hits,
+                   length(text) AS n_chars
+            FROM documents WHERE doc_id < 50
+        """,
+        "presence_accept": """
+            WITH ev AS (
+              SELECT 'e' || CAST(user_id % 40 AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN sec - LAG(sec) OVER w > 7200 THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY entity, attr, value_str ORDER BY ts)),
+            islands AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY entity, attr, value_str
+                                       ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged),
+            intervals AS (
+              SELECT entity, attr, value_str, island,
+                     MIN(sec) AS s, MAX(sec) AS e
+              FROM islands GROUP BY entity, attr, value_str, island
+              HAVING MAX(sec) - MIN(sec) >= 1800),
+            presence AS (
+              SELECT entity, attr, value_str, SUM(e - s) AS presence_s
+              FROM intervals GROUP BY entity, attr, value_str)
+            SELECT entity, attr, value_str, presence_s,
+                   CAST(presence_s * 1.0 / MAX(presence_s) OVER (PARTITION BY entity, attr) > 0.5 AS INT) AS accepted
+            FROM presence
+        """,
+        "gt_carry_forward": """
+            WITH sparse AS (
+              SELECT user_id % 20 AS entity, event_type AS attr, dayofyear(ts) AS bucket_id,
+                     MAX(CASE WHEN event_id % 3 = 0 THEN ROUND(value, 1) END) AS gt_value
+              FROM events GROUP BY user_id % 20, event_type, dayofyear(ts))
+            SELECT entity, attr, bucket_id,
+                   ROUND(LAST_VALUE(gt_value IGNORE NULLS)
+                         OVER (PARTITION BY entity, attr ORDER BY bucket_id
+                               ROWS UNBOUNDED PRECEDING), 6) AS carried
+            FROM sparse
         """,
     }
