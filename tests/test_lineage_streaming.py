@@ -1,0 +1,87 @@
+"""Resume-from-checkpoint + streaming sessionization tests."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from trustfuse_spark.datagen import gen_docs
+from trustfuse_spark.plans.lineage import run_resumable_pipeline
+from trustfuse_spark.streaming.sessions import stream_majority, stream_session_buckets
+
+
+def test_resume_skips_done_stages(spark, tmp_path):
+    docs = gen_docs(spark, 20, 6, 2).cache()
+    root = str(tmp_path / "runs")
+
+    triples1, run1 = run_resumable_pipeline(
+        spark, docs, root, "run1", model="majority"
+    )
+    rows1 = {tuple(r) for r in triples1.collect()}
+    assert len(run1.lineage()) == 3
+    # per-partition metrics present
+    assert all(rec["partitions"] for rec in run1.lineage())
+
+    # simulate a resumed run: same run_id, stage outputs already on disk.
+    # Pass docs=None-like poison to prove stages don't recompute: corrupt
+    # the claims builder by passing empty docs — resume must NOT read it.
+    empty_docs = docs.limit(0)
+    triples2, run2 = run_resumable_pipeline(
+        spark, empty_docs, root, "run1", model="majority"
+    )
+    rows2 = {tuple(r) for r in triples2.collect()}
+    assert rows1 == rows2  # byte-identical resume, nothing recomputed
+
+    # partial resume: delete the last stage only -> it alone recomputes
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "run1", "triples"))
+    triples3, _ = run_resumable_pipeline(spark, empty_docs, root, "run1", model="majority")
+    assert {tuple(r) for r in triples3.collect()} == rows1
+
+
+def test_stream_session_buckets(spark, tmp_path):
+    rows = [
+        ("s1", "A", "p", "v1", "2020-01-01 00:00:00"),
+        ("s1", "A", "p", "v2", "2020-01-02 00:00:00"),
+        ("s1", "A", "p", "v3", "2020-02-01 00:00:00"),  # > 10d gap: new session
+        ("s1", "B", "p", "v1", "2020-01-01 00:00:00"),
+    ]
+    src = spark.createDataFrame(
+        rows, ["source", "entity", "attr", "value_str", "ts_s"]
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    src.write.mode("overwrite").parquet(str(tmp_path / "claims"))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(tmp_path / "claims"))
+        .select("source", "entity", "attr", "value_str", "ts")
+    )
+    sessions = stream_session_buckets(stream, gap="10 days")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_out").collect()
+    per_entity = {}
+    for r in out:
+        per_entity.setdefault(r["entity"], 0)
+        per_entity[r["entity"]] += 1
+    assert per_entity["A"] == 2  # two sessions for A
+    assert per_entity["B"] == 1
+
+    votes = stream_majority(stream, window="30 days")
+    q2 = (
+        votes.writeStream.format("memory")
+        .queryName("votes_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    vout = spark.sql("SELECT * FROM votes_out").collect()
+    assert sum(r["votes"] for r in vout) == 4
