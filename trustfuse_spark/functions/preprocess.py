@@ -60,28 +60,32 @@ def split_authors(c: Column) -> Column:
     return F.transform(F.split(c, ";"), lambda x: F.trim(x))
 
 
+def extract_authors_py(text: object) -> list[str] | None:
+    """Author-list heuristics with reference semantics (preprocessing.py:
+    228-252): '; '-separated lists split directly; comma-heavy strings split
+    on ', ' and each 'First Last' reordered to 'last, first'; otherwise a
+    single lowercased author."""
+    if text is None or not isinstance(text, str):
+        return None
+    if "; " in text:
+        return [name.lower().strip() for name in text.split("; ")]
+    if text.count(",") > 1 or (text.count(",") == 1 and len(text.split()) > 3):
+        out = []
+        for name in text.split(", "):
+            parts = name.split()
+            if len(parts) > 1:
+                out.append(f"{parts[-1].lower()}, {' '.join(parts[:-1]).lower()}")
+            else:
+                out.append(name.lower())
+        return out
+    return [text.lower().strip()]
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_authors(s: pd.Series) -> pd.Series:
-    """Heuristic author-list splitter (F7): ';'-separated entries, each
-    possibly 'Last, First' (reordered to 'first last'), lowercased.
-    Heuristic-heavy -> Arrow-batched pandas UDF, not per-row Python.
-    """
-
-    def one(text: object) -> list[str] | None:
-        if text is None or (isinstance(text, float) and pd.isna(text)):
-            return None
-        out = []
-        for entry in str(text).split(";"):
-            entry = entry.strip().lower()
-            if not entry:
-                continue
-            if "," in entry:
-                last, _, first = entry.partition(",")
-                entry = (first.strip() + " " + last.strip()).strip()
-            out.append(entry)
-        return out or None
-
-    return s.map(one)
+    """F7 as an Arrow-batched pandas UDF (heuristic-heavy -> Python, but
+    never per-row over the wire)."""
+    return s.map(extract_authors_py)
 
 
 def date2seconds(c: Column) -> Column:

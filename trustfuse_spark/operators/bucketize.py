@@ -124,6 +124,29 @@ def reverse_map(
     ).withColumn("formatted_value", F.coalesce("seed_value", "value_str"))
 
 
+def revision_diff(revisions: DataFrame) -> DataFrame:
+    """Pairwise revision diff -> claim events (SURVEY §2.1 S7; reference
+    compare_revisions, generate_conflicting_dataset.py:290-441).
+
+    Input: one row per (entity, rev_no, user, ts, prop, values:array).
+    Output: added-value events (entity, prop, value, user, ts) where a value
+    appears in a revision but not the previous one — lag() window +
+    array_except, fully distributed.
+    """
+    w = Window.partitionBy("entity", "prop").orderBy("rev_no")
+    prev_vals = F.lag("values").over(w)
+    added = F.array_except(
+        F.col("values"), F.coalesce(prev_vals, F.array().cast("array<string>"))
+    )
+    return (
+        revisions.withColumn("added", added)
+        .select(
+            "entity", "prop", "user", "ts", "rev_no",
+            F.explode("added").alias("value"),
+        )
+    )
+
+
 def presence_intervals(
     events: DataFrame,
     gamma_s: int = GAMMA_S,

@@ -163,4 +163,7 @@ def fuse_crh(
     if weights is None:  # max_itr == 0 -> init truth, uniform weights
         weights = all_sources.select(*WEIGHT_KEYS, F.lit(0.0).alias("weight"))
 
-    return FusionResult(truth=assemble_truth(cat_truth, num_truth), weights=weights)
+    # materialize the final truth once: every consumer (triples write, eval,
+    # weights diagnostics) would otherwise replay the argmax joins
+    truth = checkpoint(assemble_truth(cat_truth, num_truth))
+    return FusionResult(truth=truth, weights=weights)

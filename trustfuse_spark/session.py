@@ -33,11 +33,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Coalesce post-shuffle partitions by size, not parallelism: iterative
         # fusion plans have many small shuffles whose per-task overhead
-        # otherwise dominates (measured 5x on the CRH loop). At cluster scale
-        # partitions are near the advisory size anyway, so this is the right
-        # setting at both ends.
+        # otherwise dominates (measured 5x on the CRH loop). The advisory is
+        # deliberately small so medium inputs still fan out across cores
+        # (64m serialized a ~100MB-shuffle job to 1 partition and inverted
+        # the 8->32-core scaling); override via SPARK_GRAFT_ADVISORY.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
