@@ -36,8 +36,8 @@ cores = {cores}
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions={partitions})
 spark.range(1000).count()  # JVM warm
-docs = gen_docs(spark, n_entities={entities}, n_sources=20, n_revs=4)
-docs = docs.repartition({partitions}).localCheckpoint(eager=True)
+docs = gen_docs(spark, n_entities={entities}, n_sources=20, n_revs=4,
+                num_partitions={partitions}).localCheckpoint(eager=True)
 n_docs = docs.count()
 t0 = time.perf_counter()
 triples, _ = run_pipeline(docs, model="crh", max_itr=3)

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 M31 = 2147483647  # 2**31 - 1, keeps all hash arithmetic inside int64
 
+_SPAN_ARRAY_T = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
 N_ATTRS = 6
 ATTR_NAMES = ["P_ent0", "P_ent1", "P_ent2", "P_qty", "P_str", "P_time"]
 ATTR_TYPES = ["entity", "entity", "entity", "quantity", "string", "time"]
@@ -182,7 +184,11 @@ def gen_claims(
 
 
 def gen_docs(
-    spark: SparkSession, n_entities: int = 200, n_sources: int = 20, n_revs: int = 4
+    spark: SparkSession,
+    n_entities: int = 200,
+    n_sources: int = 20,
+    n_revs: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Interleaved docs table (FIXTURES.md §1 / BASELINE input_hint).
 
@@ -190,8 +196,9 @@ def gen_docs(
     of that revision as "<entity> | <attr> | <value>"; 0-2 media spans are
     interleaved deterministically. Offsets strictly increase.
     """
+    n_rows = n_entities * n_sources * n_revs
     docs = (
-        spark.range(n_entities * n_sources * n_revs)
+        spark.range(0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism)
         .withColumn("e", (F.col("id") / (n_sources * n_revs)).cast("long"))
         .withColumn("s", (F.col("id") / n_revs).cast("long") % n_sources)
         .withColumn("r", F.col("id") % n_revs)
@@ -199,7 +206,9 @@ def gen_docs(
     e, s, r = F.col("e"), F.col("s"), F.col("r")
 
     # Text spans: one per attr assigned to this revision (a % n_revs == r) and
-    # present for this (e, s, a). Build as fixed-size array -> filter nulls.
+    # present for this (e, s, a). Built as concat of conditional single-item
+    # arrays (codegen-friendly; higher-order filter() is interpreted and was
+    # the generation bottleneck at bench scale).
     span_structs = []
     for a_i in range(N_ATTRS):
         a = F.lit(a_i).cast("long")
@@ -214,13 +223,15 @@ def gen_docs(
         span_structs.append(
             F.when(
                 present,
-                F.struct(
-                    F.lit("text").alias("kind"),
-                    text.alias("text"),
-                    F.lit("").alias("media_ref"),
-                    F.lit(a_i).cast("int").alias("offset"),
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        text.alias("text"),
+                        F.lit("").alias("media_ref"),
+                        F.lit(a_i).cast("int").alias("offset"),
+                    )
                 ),
-            )
+            ).otherwise(F.array().cast(_SPAN_ARRAY_T))
         )
     # 0-2 media spans with deterministic refs, offsets after the text block
     n_media = _mix(e, s, r, 13) % 3
@@ -229,15 +240,17 @@ def gen_docs(
         span_structs.append(
             F.when(
                 n_media > m_i,
-                F.struct(
-                    F.lit("media").alias("kind"),
-                    F.lit("").alias("text"),
-                    mref.alias("media_ref"),
-                    F.lit(N_ATTRS + m_i).cast("int").alias("offset"),
+                F.array(
+                    F.struct(
+                        F.lit("media").alias("kind"),
+                        F.lit("").alias("text"),
+                        mref.alias("media_ref"),
+                        F.lit(N_ATTRS + m_i).cast("int").alias("offset"),
+                    )
                 ),
-            )
+            ).otherwise(F.array().cast(_SPAN_ARRAY_T))
         )
-    spans = F.filter(F.array(*span_structs), lambda x: x.isNotNull())
+    spans = F.concat(*span_structs)
     doc_id = F.concat(
         F.lit("d"), F.lpad(e.cast("string"), 6, "0"),
         F.lit("_"), F.lpad(s.cast("string"), 4, "0"),

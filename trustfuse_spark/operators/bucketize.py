@@ -46,7 +46,7 @@ def sessionize(
     ts = F.unix_timestamp(F.col(ts_col))
     w_ent = Window.partitionBy("entity").orderBy(ts_col, "source", "attr")
     w_spa = Window.partitionBy("entity", "source", "attr").orderBy(ts_col)
-    ent_gap = ts - F.lag(ts).over(w_ent.orderBy(F.col(ts_col)))
+    ent_gap = ts - F.lag(ts).over(w_ent)
     spa_gap = ts - F.lag(ts).over(w_spa)
     close = (
         F.when(ent_gap > delta_s, 1)

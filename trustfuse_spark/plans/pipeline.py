@@ -58,7 +58,8 @@ def docs_to_claims(
     )
     if bucket_from == "rev":
         claims = claims.withColumn(
-            "bucket_id", F.regexp_extract("doc_id", r"_(\d+)$", 1).cast("int")
+            "bucket_id",
+            F.element_at(F.split("doc_id", "_"), -1).cast("int"),
         )
     claims = claims.withColumn(
         "value_num", normalize_claim_value(F.col("value_str"), F.col("claim_type"))
