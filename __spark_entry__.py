@@ -336,6 +336,25 @@ def truthfinder_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.weights.select("source", F.round("weight", 6).alias("tau"))
 
 
+def truthfinder_string_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TruthFinder string branch (Jaro implication) — engine code vs a
+    DuckDB oracle using jaro_similarity (verified identical to the
+    reference's Jaro variant on non-empty strings)."""
+    from trustfuse_spark.operators.fusion.truthfinder import fuse_truthfinder
+
+    claims = _claims_from_events(spark, sf_dir).select(
+        F.lit(0).alias("bucket_id"),
+        "source",
+        "entity",
+        "attr",
+        F.concat(F.lit("v"), F.col("v").cast("long").cast("string")).alias("value_str"),
+        F.lit(None).cast("double").alias("value_num"),
+        F.lit("string").alias("claim_type"),
+    )
+    res = fuse_truthfinder(claims, max_itr=1)
+    return res.weights.select("source", F.round("weight", 6).alias("tau"))
+
+
 # ---------------------------------------------------------------------------
 # operator queries (dedup / text / temporal)
 # ---------------------------------------------------------------------------
@@ -485,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_engine": majority_engine,
         "crh_engine_weights": crh_engine_weights,
         "truthfinder_engine_weights": truthfinder_engine_weights,
+        "truthfinder_string_weights": truthfinder_string_weights,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_features": text_features,
         "presence_accept": presence_accept,
@@ -717,6 +737,30 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT entity, attr, v, 1.0 / (1.0 + EXP(-0.3 * tmpv)) AS sv FROM tmp),
             t AS (SELECT cl.source, AVG(s.sv) AS tv
                   FROM claims cl JOIN s ON s.entity = cl.entity AND s.attr = cl.attr AND s.v = cl.v
+                  GROUP BY cl.source)
+            SELECT source,
+                   ROUND(CASE WHEN tv >= 1.0 THEN LN(1e10) ELSE -LN(1.0 - tv) END, 6) AS tau
+            FROM t
+        """,
+        "truthfinder_string_weights": f"""
+            WITH claims AS (
+              SELECT source, entity, attr,
+                     'v' || CAST(CAST(v AS BIGINT) AS VARCHAR) AS vs
+              FROM ({_CLAIMS_SQL})
+            ),
+            sigma AS (SELECT entity, attr, vs, LN(10) * COUNT(*) AS sig
+                      FROM claims GROUP BY entity, attr, vs),
+            pairs AS (
+              SELECT a.entity, a.attr, a.vs, a.sig,
+                     COALESCE(SUM(CASE WHEN b.vs <> a.vs
+                         THEN b.sig * EXP(-jaro_similarity(a.vs, b.vs)) END), 0) AS loss_sum
+              FROM sigma a JOIN sigma b ON a.entity = b.entity AND a.attr = b.attr
+              GROUP BY a.entity, a.attr, a.vs, a.sig),
+            s AS (SELECT entity, attr, vs,
+                         1.0 / (1.0 + EXP(-0.3 * (0.5 * sig + 0.5 * loss_sum))) AS sv
+                  FROM pairs),
+            t AS (SELECT cl.source, AVG(s.sv) AS tv
+                  FROM claims cl JOIN s ON s.entity = cl.entity AND s.attr = cl.attr AND s.vs = cl.vs
                   GROUP BY cl.source)
             SELECT source,
                    ROUND(CASE WHEN tv >= 1.0 THEN LN(1e10) ELSE -LN(1.0 - tv) END, 6) AS tau

@@ -1,0 +1,77 @@
+"""Skew-salting utilities, specificity metric, embedding near-dups."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from trustfuse_spark.datagen import gen_claims, gen_gt, gen_partial_orders
+from trustfuse_spark.operators.dedup import embedding_near_dups
+from trustfuse_spark.operators.evaluation import specificity
+from trustfuse_spark.operators.fusion.majority import fuse_majority
+from trustfuse_spark.operators.skew import salted_agg, salted_count_distinct, salted_mode
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", f"s{i % 7}", float(i % 13)) for i in range(5000)]
+        + [("cold", "s0", 1.0)],
+        ["entity", "source", "v"],
+    )
+    plain = {
+        r["entity"]: (r["s"], r["c"])
+        for r in df.groupBy("entity").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    salted = salted_agg(
+        df,
+        ["entity"],
+        partial=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+        final=lambda g: g.agg(F.sum("ps").alias("s"), F.sum("pc").alias("c")),
+        salt_source="source",
+    )
+    got = {r["entity"]: (r["s"], r["c"]) for r in salted.collect()}
+    assert got == plain
+
+    cd = {r["entity"]: r["n_v"] for r in salted_count_distinct(df, ["entity"], "v").collect()}
+    want = {
+        r["entity"]: r["n"]
+        for r in df.groupBy("entity").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert cd == want
+
+    sm = {r["entity"]: r["v"] for r in salted_mode(df, ["entity"], "v").collect()}
+    assert sm["cold"] == 1.0
+    # hot entity: i%13 values over 5000 rows; modes are the small residues
+    assert sm["hot"] == 0.0
+
+
+def test_specificity_metric(spark):
+    claims = gen_claims(spark, 50, 10, 2)
+    gt = gen_gt(spark, 50)
+    fact_buckets = claims.select("bucket_id", "entity", "attr").distinct()
+    gt_b = gt.join(fact_buckets, ["entity", "attr"]).withColumn(
+        "gt_values", F.transform("gt_values", lambda x: F.trim(x))
+    )
+    po = gen_partial_orders(spark, 50)
+    assert po.count() > 0
+    res = fuse_majority(claims)
+    spec = specificity(res.truth, gt_b, po, mode="negative")
+    rows = spec.collect()
+    assert rows, "specificity should cover the planted ordered attrs"
+    # planted truths are the mid level (coeff 0.5); correct fusions score 0.5
+    for r in rows:
+        assert r["specificity"] <= 1.0
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # plant near-dups: 100+i is a tiny perturbation of i for i<3
+    for i in range(3):
+        rows.append((100 + i, (base[i] + 0.001).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(df, "vec_id", "embedding", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, 100 + i) in got, f"planted near-dup {i} missed"
+    # no false accepts among the random vectors
+    assert all(b >= 100 for a, b in got)

@@ -282,6 +282,39 @@ def gen_gt(spark: SparkSession, n_entities: int = 200) -> DataFrame:
     )
 
 
+def gen_partial_orders(spark: SparkSession, n_entities: int = 200) -> DataFrame:
+    """Specificity dimension (FIXTURES.md §4): for 1 in 5 entity-typed attrs
+    a 3-level chain root < mid < leaf where mid = the planted true value.
+    coeff = depth / max_depth (reference dataset.py:398-434)."""
+    base = (
+        spark.range(n_entities * 3)  # entity attrs a in {0,1,2}
+        .withColumn("e", (F.col("id") / 3).cast("long"))
+        .withColumn("a", F.col("id") % 3)
+        .filter(_mix(F.col("e"), F.col("a"), 61) % 5 == 0)
+    )
+    e, a = F.col("e"), F.col("a")
+    tv = _true_value_idx(e, a)
+    mid = _value_str(e, a, tv)
+    root = F.concat(F.lit("Q"), (40000 + tv).cast("string"))
+    leaf = F.concat(F.lit("Q"), (60000 + tv).cast("string"))
+    attr = F.element_at(F.lit(ATTR_NAMES), (a + 1).cast("int"))
+    rows = []
+    for depth, val, is_leaf in ((0, root, False), (1, mid, False), (2, leaf, True)):
+        rows.append(
+            base.select(
+                attr.alias("attr"),
+                val.alias("value"),
+                F.lit(depth).alias("depth"),
+                (F.lit(depth) / 2.0).alias("coeff"),
+                F.lit(is_leaf).alias("leaf"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def gen_source_truth(spark: SparkSession, n_sources: int = 20) -> DataFrame:
     """Planted reliabilities (FIXTURES.md §5) for weight rank-correlation tests."""
     return spark.range(n_sources).select(
