@@ -52,6 +52,25 @@ def _entity_name(e: Column) -> Column:
     return F.concat(F.lit("Q"), (e + 1000).cast("string"))
 
 
+def _entity_surface(e: Column) -> Column:
+    """Name-like mention surface for linking tests: distinctive hash chunk +
+    index, so same-entity typo variants are Jaro-close while cross-entity
+    surfaces are Jaro-far (QIDs would all collide at 0.8+ similarity)."""
+    return F.concat(
+        F.lit("ent"),
+        F.lpad((_mix(e, 83) % 100000000).cast("string"), 8, "0"),
+        F.lit("n"),
+        e.cast("string"),
+    )
+
+
+def _noisy_surface(e: Column, s: Column, r: Column) -> Column:
+    """~20% of docs render the entity with a deterministic typo (trailing
+    duplicate char) — the linking stage must merge these back."""
+    clean = _entity_surface(e)
+    return F.when(_mix(e, s, r, 71) % 5 == 0, F.concat(clean, F.lit("x"))).otherwise(clean)
+
+
 def _source_name(s: Column) -> Column:
     return F.concat(F.lit("src_"), F.lpad(s.cast("string"), 4, "0"))
 
@@ -189,12 +208,17 @@ def gen_docs(
     n_sources: int = 20,
     n_revs: int = 4,
     num_partitions: int | None = None,
+    entity_noise: bool = False,
 ) -> DataFrame:
     """Interleaved docs table (FIXTURES.md §1 / BASELINE input_hint).
 
     One doc per (entity, source, revision); its text spans render the claims
     of that revision as "<entity> | <attr> | <value>"; 0-2 media spans are
     interleaved deterministically. Offsets strictly increase.
+
+    entity_noise=True renders name-like mention surfaces with deterministic
+    typos in ~20% of docs — the linking/canonicalization stage's test input
+    (resolve with gen_entity_dictionary to get back QIDs).
     """
     n_rows = n_entities * n_sources * n_revs
     docs = (
@@ -204,6 +228,7 @@ def gen_docs(
         .withColumn("r", F.col("id") % n_revs)
     )
     e, s, r = F.col("e"), F.col("s"), F.col("r")
+    entity_repr = _noisy_surface(e, s, r) if entity_noise else _entity_name(e)
 
     # Text spans: one per attr assigned to this revision (a % n_revs == r) and
     # present for this (e, s, a). Built as concat of conditional single-item
@@ -217,7 +242,7 @@ def gen_docs(
         tv = _true_value_idx(e, a)
         vidx = F.when(is_true, tv).otherwise(_wrong_value_idx(tv, _mix(e, s, a, 11) % N_WRONG))
         text = F.concat(
-            _entity_name(e), F.lit(" | "), F.lit(ATTR_NAMES[a_i]), F.lit(" | "),
+            entity_repr, F.lit(" | "), F.lit(ATTR_NAMES[a_i]), F.lit(" | "),
             _value_str(e, a, vidx),
         )
         span_structs.append(
@@ -279,6 +304,16 @@ def gen_gt(spark: SparkSession, n_entities: int = 200) -> DataFrame:
         F.element_at(F.lit(ATTR_NAMES), (a + 1).cast("int")).alias("attr"),
         F.array(_value_str(e, a, tv)).alias("gt_values"),
         _value_num(a, tv).alias("gt_num"),
+    )
+
+
+def gen_entity_dictionary(spark: SparkSession, n_entities: int = 200) -> DataFrame:
+    """(label=clean surface, qid) dim for dictionary linking after
+    canonicalization of the noisy surfaces."""
+    base = spark.range(n_entities)
+    e = F.col("id")
+    return base.select(
+        _entity_surface(e).alias("label"), _entity_name(e).alias("qid")
     )
 
 

@@ -89,7 +89,8 @@ def connected_components(
         e = checkpoint(_star_round(e, large=False, salt_hubs=salt_hubs))
         sig_row = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("src", "dst")).alias("h"),
+            # order-insensitive, overflow-free edge-set signature (ANSI-safe)
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:

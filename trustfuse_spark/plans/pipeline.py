@@ -76,6 +76,38 @@ def docs_to_claims(
     )
 
 
+def canonicalize_claims(
+    claims: DataFrame,
+    min_jaro: float = 0.9,
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Linking + canonicalization stage (SURVEY §7.1 S2-S3): mention
+    surfaces in `entity` -> MinHash-LSH candidate pairs -> Jaro scorer ->
+    connected components -> canonical id; optionally resolve the canonical
+    surface against a known-entity dictionary (label -> qid, broadcast).
+    """
+    from trustfuse_spark.operators.linking import candidate_links, canonicalize, link_dictionary
+
+    mentions = claims.withColumnRenamed("entity", "surface")
+    links = candidate_links(mentions, min_jaro=min_jaro)
+    canon = canonicalize(mentions, links)
+    if dictionary is not None:
+        canon = link_dictionary(
+            canon.withColumnRenamed("canonical_id", "__canon")
+            .withColumnRenamed("surface", "__orig")
+            .withColumnRenamed("__canon", "surface"),
+            dictionary,
+        )
+        canon = (
+            canon.withColumn("entity", F.coalesce("linked_id", "surface"))
+            .drop("surface", "linked_id")
+            .withColumnRenamed("__orig", "surface")
+        )
+    else:
+        canon = canon.withColumnRenamed("canonical_id", "entity")
+    return canon
+
+
 MODELS = {
     "majority": fuse_majority,
     "crh": fuse_crh,
@@ -111,16 +143,30 @@ def truth_to_triples(truth: DataFrame) -> DataFrame:
 
 
 def run_pipeline(
-    docs: DataFrame, model: str = "crh", use_arrow_udf: bool = False, **kwargs
+    docs: DataFrame,
+    model: str = "crh",
+    use_arrow_udf: bool = False,
+    link_entities: bool = False,
+    entity_dictionary: DataFrame | None = None,
+    min_jaro: float = 0.9,
+    **kwargs,
 ) -> tuple[DataFrame, FusionResult]:
     """docs -> (triples, FusionResult). The flagship end-to-end path.
 
-    Claims are slimmed to the fusion columns and cached once — the iterative
-    models re-read this cache instead of re-running extraction (provenance
-    columns doc_id/media_refs live in the claims stage output, re-joinable by
-    fact key when needed).
+    link_entities=True inserts the linking + canonicalization stage between
+    extraction and fusion (north_star S2-S3): noisy mention surfaces are
+    LSH-blocked, Jaro-scored, merged by connected components, and optionally
+    resolved to dictionary ids before conflict resolution.
+
+    Claims are slimmed to the fusion columns and materialized once — the
+    iterative models re-read that table instead of re-running extraction
+    (provenance doc_id/media_refs stay in the claims stage output).
     """
     claims = docs_to_claims(docs, use_arrow_udf=use_arrow_udf)
+    if link_entities:
+        claims = canonicalize_claims(
+            claims, min_jaro=min_jaro, dictionary=entity_dictionary
+        )
     slim = claims.select(
         "bucket_id", "source", "entity", "attr", "value_str", "value_num", "claim_type"
     )
