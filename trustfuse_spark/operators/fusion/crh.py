@@ -94,35 +94,57 @@ def _weight_step(
 def _truth_step(
     cat: DataFrame, num_with_denom: DataFrame, weights: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
+    """Unified truth update for both branches in ONE join+groupBy+window.
+
+    Reference semantics (crh.py:65-89): categorical argmax over distinct v
+    of Σ w·1[claim=v]; numeric argmin over claimed v of Σ w·(v-claim)²/denom.
+    The categorical argmax is identical to an argmin of the complementary
+    loss Σ w·1[claim≠v] (the per-fact weight total is candidate-invariant),
+    so both branches share candidates = distinct claimed values, loss(cand)
+    = Σ_claims w · d(cand, claim), argmin with ascending-value ties — one
+    fact-local self-join (rows ≤ claims×distinct per fact, AQE-skew-split)
+    instead of two separate aggregation chains.
+    """
     bw = F.broadcast(weights)
-    # categorical: score(v) = Σ w of claimers of v (crh.py:69-77)
-    cat_scores = (
-        cat.join(bw, WEIGHT_KEYS)
-        .groupBy(*FACT_KEYS, "value_str")
-        .agg(F.sum("weight").alias("score"))
+    cat_u = cat.select(
+        *FACT_KEYS, "source",
+        F.col("value_str").alias("vkey"),
+        F.lit(None).cast("double").alias("vnum"),
+        F.lit(None).cast("double").alias("denom"),
+        F.lit(False).alias("is_num"),
     )
-    cat_truth = argmax_per_fact(cat_scores, F.col("score"), "value_str").select(
-        *FACT_KEYS, F.col("value_str").alias("truth_str")
+    num_u = num_with_denom.select(
+        *FACT_KEYS, "source",
+        F.col("value_num").cast("string").alias("vkey"),
+        F.col("value_num").alias("vnum"),
+        "denom",
+        F.lit(True).alias("is_num"),
     )
-    # numeric: candidates = distinct claimed values per fact; loss(cand) =
-    # Σ_claims w·(cand - claim)^2/denom  (crh.py:79-87). Fact-local self-join:
-    # |claims per fact| × |distinct values per fact| rows, both bounded by the
-    # source count per fact; AQE splits skewed (hot-entity) facts.
-    num_w = num_with_denom.join(bw, WEIGHT_KEYS)
-    cands = num_with_denom.select(*FACT_KEYS, F.col("value_num").alias("cand")).distinct()
-    num_scores = (
-        num_w.join(cands, FACT_KEYS)
-        .groupBy(*FACT_KEYS, "cand")
-        .agg(
-            F.sum(
-                F.col("weight")
-                * (F.col("cand") - F.col("value_num")) ** 2
-                / F.col("denom")
-            ).alias("loss")
-        )
+    unified = cat_u.unionByName(num_u).join(bw, WEIGHT_KEYS)
+    cands = unified.select(*FACT_KEYS, F.col("vkey").alias("cand"), F.col("vnum").alias("cnum")).distinct()
+    loss = F.when(
+        F.col("is_num"),
+        F.col("weight") * (F.col("cnum") - F.col("vnum")) ** 2 / F.col("denom"),
+    ).otherwise(F.col("weight") * (F.col("vkey") != F.col("cand")).cast("double"))
+    scored = (
+        unified.join(cands, FACT_KEYS)
+        .groupBy(*FACT_KEYS, "cand", "cnum")
+        .agg(F.sum(loss).alias("loss"), F.first("is_num").alias("is_num"))
     )
-    num_truth = argmin_per_fact(num_scores, F.col("loss"), "cand").select(
-        *FACT_KEYS, F.col("cand").alias("truth_num")
+    # ascending-value ties: numeric by value, categorical by string — cnum
+    # sorts numerically where present, vkey lexically otherwise
+    w = Window.partitionBy(*FACT_KEYS).orderBy(
+        F.col("loss").asc(), F.col("cnum").asc_nulls_last(), F.col("cand").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    cat_truth = best.filter(~F.col("is_num")).select(
+        *FACT_KEYS, F.col("cand").alias("truth_str")
+    )
+    num_truth = best.filter(F.col("is_num")).select(
+        *FACT_KEYS, F.col("cnum").alias("truth_num")
     )
     return cat_truth, num_truth
 
