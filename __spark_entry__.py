@@ -582,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
         """,
         "session_bucketize": """
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM (
               SELECT user_id,
                      CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
@@ -814,7 +814,7 @@ def oracle_sql() -> dict[str, str]:
               FROM islands GROUP BY entity, attr, value_str, island
               HAVING MAX(sec) - MIN(sec) >= 1800),
             presence AS (
-              SELECT entity, attr, value_str, SUM(e - s) AS presence_s
+              SELECT entity, attr, value_str, CAST(SUM(e - s) AS BIGINT) AS presence_s
               FROM intervals GROUP BY entity, attr, value_str)
             SELECT entity, attr, value_str, presence_s,
                    CAST(presence_s * 1.0 / MAX(presence_s) OVER (PARTITION BY entity, attr) > 0.5 AS INT) AS accepted

@@ -29,6 +29,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from trustfuse_spark.datagen import gen_docs
+    from trustfuse_spark.operators.fusion.base import persistent_rdd_ids, release_rdds
     from trustfuse_spark.plans.pipeline import run_pipeline
     from trustfuse_spark.session import get_spark
 
@@ -38,12 +39,18 @@ def main() -> None:
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1000).count()
 
+    baseline_rdds = persistent_rdd_ids(spark)
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+        # Drop every block this query checkpointed/cached: 26 queries in one
+        # session otherwise accumulate dead localCheckpoint RDDs and inflate
+        # later queries 6-7x (VERDICT r1 'bench session bloat'). The df is
+        # fully consumed by count(); nothing re-reads it.
+        release_rdds(spark, persistent_rdd_ids(spark) - baseline_rdds)
 
     # KG pipeline: synthetic interleaved docs -> extract -> CRH -> triples
     e_cnt = int(os.environ.get("BENCH_PIPELINE_E", "3000"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trustfuse_spark.operators.fusion.base import checkpoint
+from trustfuse_spark.operators.fusion.base import CheckpointRotator, checkpoint
 
 
 def _degree_capped_min(edges: DataFrame, salt: int) -> DataFrame:
@@ -83,10 +83,11 @@ def connected_components(
         e.select(F.col("dst").alias("node"))
     ).distinct()
 
+    rot = CheckpointRotator(edges.sparkSession)
     prev_sig = None
     for _ in range(max_rounds):
         e = _star_round(e, large=True, salt_hubs=salt_hubs)
-        e = checkpoint(_star_round(e, large=False, salt_hubs=salt_hubs))
+        e = rot.rotate(_star_round(e, large=False, salt_hubs=salt_hubs))
         sig_row = e.agg(
             F.count("*").alias("n"),
             # order-insensitive, overflow-free edge-set signature (ANSI-safe)

@@ -35,6 +35,7 @@ from trustfuse_spark.operators.fusion.base import (
     WEIGHT_KEYS,
     FusionResult,
     argmax_per_fact,
+    CheckpointRotator,
     checkpoint,
 )
 
@@ -50,6 +51,7 @@ def fuse_accu(
     max_itr: int = 100,
     init_accuracy: float = 0.8,
     init_weights: DataFrame | None = None,
+    tol: float | None = 0.0,
 ) -> FusionResult:
     # one claim per (source, fact): keep the smallest value (pinned stand-in
     # for the reference's last-write-wins dict)
@@ -71,10 +73,12 @@ def fuse_accu(
         )
     else:
         acc = init_weights.select(*WEIGHT_KEYS, F.col("weight").alias("acc"))
-    acc = checkpoint(acc)
+    rot = CheckpointRotator(claims.sparkSession)
+    acc = rot.rotate(acc)
 
     claims_n = prepared.join(n_distinct, FACT_KEYS)
     truth = None
+    prev_acc: DataFrame | None = None
     for _ in range(max_itr):
         scored = (
             claims_n.join(F.broadcast(acc), WEIGHT_KEYS)
@@ -94,7 +98,8 @@ def fuse_accu(
         truth = argmax_per_fact(scored, F.col("score"), "vkey").select(
             *FACT_KEYS, "vkey", "value_str", "value_num"
         )
-        acc = checkpoint(
+        prev_acc = acc
+        acc = rot.rotate(
             prepared.join(truth.select(*FACT_KEYS, F.col("vkey").alias("t_vkey")), FACT_KEYS)
             .groupBy(*WEIGHT_KEYS)
             .agg(F.avg((F.col("vkey") == F.col("t_vkey")).cast("double")).alias("a"))
@@ -106,6 +111,23 @@ def fuse_accu(
                 .alias("acc"),
             )
         )
+        # Early stop at the EXACT weights fixed point (tol=0.0 default):
+        # acc_{i+1} == acc_i implies every later iteration repeats verbatim
+        # (argmax ties are pinned), so stopping returns the identical output
+        # the reference's fixed 100 iterations would — reference parity is
+        # preserved, ~95 dead materializations are not (VERDICT r1 item 7).
+        # tol=None restores the strict fixed-iteration loop.
+        if tol is not None and prev_acc is not None:
+            d = (
+                acc.join(
+                    prev_acc.select(*WEIGHT_KEYS, F.col("acc").alias("a_old")),
+                    WEIGHT_KEYS,
+                )
+                .agg(F.max(F.abs(F.col("acc") - F.col("a_old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if d is not None and d <= tol:
+                break
 
     assert truth is not None, "max_itr must be >= 1"
     out_truth = truth.select(

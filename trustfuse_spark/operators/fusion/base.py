@@ -52,6 +52,59 @@ def checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently holding blocks in the block manager
+    (cache() AND localCheckpoint both register here)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(e.getKey()) for e in jmap.entrySet().toArray()}
+
+
+def release_rdds(spark, ids) -> int:
+    """Unpersist the blocks of the given RDD ids (non-blocking). Only safe
+    for RDDs whose downstream consumers have already materialized — a
+    localCheckpoint RDD cannot be recomputed once its blocks are dropped."""
+    if not ids:
+        return 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for e in jmap.entrySet().toArray():
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(False)
+            n += 1
+    return n
+
+
+class CheckpointRotator:
+    """Bound live checkpoint blocks in a driver loop to the latest iteration.
+
+    Fusion loops checkpoint a small table every iteration
+    (weights/tau/sigma2/...). Iteration i+1's checkpoint is computed FROM
+    iteration i's, so once i+1 has materialized (checkpoint is eager),
+    iteration i's blocks are dead — but localCheckpoint never frees them.
+    Round-1 bench ran 26 queries in one session and the accumulated blocks
+    inflated later queries 6-7x (VERDICT r1 'bench session bloat').
+
+    rotate(df) = checkpoint(df), then unpersist the blocks of generations
+    older than ``keep``. keep=2 (default) holds the newest two checkpoints:
+    some loops' final lazy output still references the second-to-last
+    checkpoint (e.g. TruthFinder's truth reads the scores built from the
+    previous tau), so freeing only >=2-generations-old is the safe contract.
+    """
+
+    def __init__(self, spark, keep: int = 2) -> None:
+        self._spark = spark
+        self._keep = max(1, keep)
+        self._gens: list[set[int]] = []
+
+    def rotate(self, df: DataFrame) -> DataFrame:
+        before = persistent_rdd_ids(self._spark)
+        out = checkpoint(df)
+        self._gens.append(persistent_rdd_ids(self._spark) - before)
+        while len(self._gens) > self._keep:
+            release_rdds(self._spark, self._gens.pop(0))
+        return out
+
+
 def argmax_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFrame:
     """One row per fact: max score, ties broken by ascending value.
 

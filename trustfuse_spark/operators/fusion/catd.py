@@ -40,6 +40,7 @@ from trustfuse_spark.operators.fusion.base import (
     WEIGHT_KEYS,
     FusionResult,
     assemble_truth,
+    CheckpointRotator,
     checkpoint,
     median_per_fact,
     snap_to_claimed,
@@ -96,6 +97,7 @@ def fuse_catd(
         .agg(F.count("*").alias("cnt"))
     )
     truth = median_per_fact(claims)  # lazy
+    rot = CheckpointRotator(claims.sparkSession)
     weights = None
     prev_w: DataFrame | None = None
     for _ in range(max_itr):
@@ -104,7 +106,7 @@ def fuse_catd(
             .groupBy(*WEIGHT_KEYS)
             .agg(F.sum((F.col("value_num") - F.col("truth_num")) ** 2).alias("raw"))
         )
-        weights = checkpoint(
+        weights = rot.rotate(
             raw.join(counts, WEIGHT_KEYS)
             .select(
                 *WEIGHT_KEYS,

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from trustfuse_spark.operators.fusion.base import (
     FACT_KEYS,
     WEIGHT_KEYS,
+    CheckpointRotator,
     FusionResult,
     argmax_per_fact,
     argmin_per_fact,
@@ -80,12 +81,14 @@ def _weight_step(
     # right-join against the source dim keeps them present with raw=0 so the
     # weights table is total (reference w starts at zeros and stays 0).
     raw = all_sources.join(raw, WEIGHT_KEYS, "left").fillna({"raw": 0.0})
-    total = Window.partitionBy("bucket_id")
-    return raw.select(
+    # Per-bucket normalizer as a broadcast dim, not a window: the window
+    # re-shuffled+sorted the |sources|x|buckets| table by bucket_id every
+    # iteration; the tiny totals agg reuses raw's exchange (ReusedExchange)
+    # and broadcast-joins back — nothing moves but |buckets| rows.
+    totals = raw.groupBy("bucket_id").agg(F.sum("raw").alias("__tot"))
+    return raw.join(F.broadcast(totals), "bucket_id").select(
         *WEIGHT_KEYS,
-        F.when(
-            F.col("raw") > 0, -F.log(F.col("raw") / F.sum("raw").over(total))
-        )
+        F.when(F.col("raw") > 0, -F.log(F.col("raw") / F.col("__tot")))
         .otherwise(F.lit(0.0))
         .alias("weight"),
     )
@@ -120,20 +123,27 @@ def _truth_step(
         "denom",
         F.lit(True).alias("is_num"),
     )
+    # is_num is part of the fact identity: a fact whose claims mix types
+    # (possible via the public claims API; impossible via docs_to_claims)
+    # scores its categorical and numeric branches independently and yields
+    # one truth row per branch — same as running the two reference branches
+    # side by side, and deterministic where F.first("is_num") was not.
     unified = cat_u.unionByName(num_u).join(bw, WEIGHT_KEYS)
-    cands = unified.select(*FACT_KEYS, F.col("vkey").alias("cand"), F.col("vnum").alias("cnum")).distinct()
+    cands = unified.select(
+        *FACT_KEYS, "is_num", F.col("vkey").alias("cand"), F.col("vnum").alias("cnum")
+    ).distinct()
     loss = F.when(
         F.col("is_num"),
         F.col("weight") * (F.col("cnum") - F.col("vnum")) ** 2 / F.col("denom"),
     ).otherwise(F.col("weight") * (F.col("vkey") != F.col("cand")).cast("double"))
     scored = (
-        unified.join(cands, FACT_KEYS)
-        .groupBy(*FACT_KEYS, "cand", "cnum")
-        .agg(F.sum(loss).alias("loss"), F.first("is_num").alias("is_num"))
+        unified.join(cands, FACT_KEYS + ["is_num"])
+        .groupBy(*FACT_KEYS, "is_num", "cand", "cnum")
+        .agg(F.sum(loss).alias("loss"))
     )
     # ascending-value ties: numeric by value, categorical by string — cnum
     # sorts numerically where present, vkey lexically otherwise
-    w = Window.partitionBy(*FACT_KEYS).orderBy(
+    w = Window.partitionBy(*FACT_KEYS, "is_num").orderBy(
         F.col("loss").asc(), F.col("cnum").asc_nulls_last(), F.col("cand").asc()
     )
     best = (
@@ -175,9 +185,10 @@ def fuse_crh(
     cat_truth = mode_per_fact(cat)
     num_truth = median_per_fact(num)
 
+    rot = CheckpointRotator(claims.sparkSession)
     weights = None
     for _ in range(max_itr):
-        weights = checkpoint(
+        weights = rot.rotate(
             _weight_step(cat, num_with_denom, cat_truth, num_truth, all_sources)
         )
         cat_truth, num_truth = _truth_step(cat, num_with_denom, weights)

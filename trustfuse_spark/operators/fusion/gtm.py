@@ -33,6 +33,7 @@ from trustfuse_spark.operators.fusion.base import (
     WEIGHT_KEYS,
     FusionResult,
     assemble_truth,
+    CheckpointRotator,
     checkpoint,
     snap_to_claimed,
 )
@@ -94,7 +95,9 @@ def fuse_gtm(
 
     # init: truth0 = prior (non-normalized), evaluated against normalized cn
     truth = prior.select(*FACT_KEYS, F.col("prior").alias("truth"))
-    sigma2 = checkpoint(maximization(truth))
+    rot_s = CheckpointRotator(claims.sparkSession)
+    rot_t = CheckpointRotator(claims.sparkSession)
+    sigma2 = rot_s.rotate(maximization(truth))
 
     prev_truth: DataFrame | None = None
     for _ in range(max_itr):
@@ -110,8 +113,8 @@ def fuse_gtm(
             )
         )
         if tol is not None:
-            truth = checkpoint(truth)
-        sigma2 = checkpoint(maximization(truth))
+            truth = rot_t.rotate(truth)
+        sigma2 = rot_s.rotate(maximization(truth))
         if tol is not None and prev_truth is not None:
             # ||Δtruth|| / ||truth_old|| as one scalar aggregation (never
             # collect the per-fact table to the driver)

@@ -37,6 +37,7 @@ from trustfuse_spark.operators.fusion.base import (
     FusionResult,
     argmax_per_fact,
     assemble_truth,
+    CheckpointRotator,
     checkpoint,
 )
 
@@ -140,9 +141,11 @@ def fuse_kdem(
     compute_norms = _norms_factory(h, method.lower())
 
     prev_j: dict[int, float] | None = None
+    rot_n = CheckpointRotator(claims.sparkSession)
+    rot_c = CheckpointRotator(claims.sparkSession)
     c_vec = None
     for _ in range(max_itr):
-        norms = checkpoint(
+        norms = rot_n.rotate(
             weighted.groupBy(*FACT_KEYS).applyInPandas(compute_norms, _NORM_SCHEMA)
         )
         rtn = (
@@ -163,7 +166,7 @@ def fuse_kdem(
                 .alias("c"),
             )
         )
-        c_vec = checkpoint(c_vec)
+        c_vec = rot_c.rotate(c_vec)
         cur_j = {r["bucket_id"]: r["j"] for r in jdf.collect()}
         # w update: mask to norm>0, normalize within fact; all-masked ->
         # uniform over norm==0 entries (reference update_w)

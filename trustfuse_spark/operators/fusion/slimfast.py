@@ -42,6 +42,7 @@ from trustfuse_spark.operators.fusion.base import (
     WEIGHT_KEYS,
     FusionResult,
     argmax_per_fact,
+    CheckpointRotator,
     checkpoint,
 )
 
@@ -94,7 +95,8 @@ def fuse_slimfast(
     )
     claims_n = prepared.join(n_distinct, FACT_KEYS)
     buckets = prepared.select("bucket_id").distinct()
-    shared_w = checkpoint(
+    rot = CheckpointRotator(claims.sparkSession)
+    shared_w = rot.rotate(
         buckets.withColumn(
             "w_shared", F.lit(-math.log(1.0 / init_accuracy - 1.0))
         )
@@ -125,7 +127,7 @@ def fuse_slimfast(
         correct = prepared.join(truth.select(*FACT_KEYS, "t_vkey"), FACT_KEYS).withColumn(
             "correct", F.col("vkey") == F.col("t_vkey")
         )
-        shared_w = checkpoint(
+        shared_w = rot.rotate(
             correct.join(F.broadcast(shared_w), "bucket_id")
             .select("bucket_id", "entity", "attr", "vkey", "source", "correct", "w_shared")
             .groupBy("bucket_id")

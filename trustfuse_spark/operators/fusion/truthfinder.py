@@ -39,6 +39,7 @@ from trustfuse_spark.operators.fusion.base import (
     WEIGHT_KEYS,
     FusionResult,
     argmax_per_fact,
+    CheckpointRotator,
     checkpoint,
 )
 
@@ -180,7 +181,8 @@ def fuse_truthfinder(
         .withColumn("vkey", vkey)
     )
 
-    tau = checkpoint(
+    rot = CheckpointRotator(claims.sparkSession)
+    tau = rot.rotate(
         prepared.select(*WEIGHT_KEYS)
         .distinct()
         .withColumn("tau", F.lit(-math.log(1 - 0.9)))
@@ -198,7 +200,7 @@ def fuse_truthfinder(
         per_claim = prepared.join(
             scores.select(*FACT_KEYS, "vkey", "s"), [*FACT_KEYS, "vkey"]
         )
-        tau = checkpoint(
+        tau = rot.rotate(
             per_claim.groupBy(*WEIGHT_KEYS)
             .agg(F.avg("s").alias("t"))
             .select(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trustfuse_spark.operators.fusion.base import FACT_KEYS, checkpoint
+from trustfuse_spark.operators.fusion.base import FACT_KEYS, CheckpointRotator, checkpoint
 
 
 def scale_units(
@@ -32,6 +32,7 @@ def scale_units(
     unit scale. Non-numeric/zero rows pass through unchanged."""
     scalable = F.col(value_col).isNotNull() & (F.col(value_col) != 0)
     out = claims.withColumn("__scaled", F.when(scalable, F.col(value_col)))
+    rot = CheckpointRotator(claims.sparkSession)
     for _ in range(max_itr):
         med = (
             out.filter(F.col("__scaled").isNotNull())
@@ -49,7 +50,7 @@ def scale_units(
             (pf < lower_factor) | (pf > upper_factor), F.lit(1)
         ).otherwise(F.lit(0))
         stepped = joined.withColumn("__moved", moved).withColumn("__scaled", adjusted)
-        stepped = checkpoint(stepped.drop("__med"))
+        stepped = rot.rotate(stepped.drop("__med"))
         n_moved = stepped.agg(F.sum("__moved")).collect()[0][0] or 0
         out = stepped.drop("__moved")
         if n_moved == 0:
