@@ -404,13 +404,23 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def presence_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Presence-interval auto-labeling over events (gamma=2h, beta=30min)."""
+    """Presence-interval auto-labeling over events (gamma=2h, beta=30min),
+    including the IP-majority veto (a value mostly sourced by IP-shaped
+    contributor names is rejected even above the ratio)."""
     from trustfuse_spark.operators.bucketize import presence_intervals
 
+    ip_src = F.concat(
+        F.lit("192.168."),
+        (F.col("event_id") % 4).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    named_src = F.concat(F.lit("u"), (F.col("event_id") % 9).cast("string"))
     ev = _t(spark, sf_dir, "events").select(
         F.concat(F.lit("e"), (F.col("user_id") % 40).cast("string")).alias("entity"),
         F.col("event_type").alias("attr"),
         F.round(F.col("value"), -2).cast("long").cast("string").alias("value_str"),
+        F.when(F.col("event_id") % 5 < 2, ip_src).otherwise(named_src).alias("source"),
         "ts",
     )
     out = presence_intervals(ev, gamma_s=7200, beta_s=1800, accept_ratio=0.5)
@@ -485,6 +495,105 @@ def docs_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples
 
 
+def coordinate_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate claim type end-to-end: '(lat, lon)' strings -> parse ->
+    per-axis expansion -> exact median fusion -> recomposed '(lat, lon)'
+    truth. Exercises the full operators/coordinates.py path; the oracle
+    recomputes per-axis medians from the same deterministic arithmetic."""
+    from trustfuse_spark.functions.preprocess import format_coordinate
+    from trustfuse_spark.operators.coordinates import (
+        expand_coordinate_claims,
+        recompose_coordinate_truth,
+    )
+    from trustfuse_spark.operators.fusion.base import FACT_KEYS, median_per_fact
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("event_id") * 7) % 121 - 60).cast("double")
+    lon = ((F.col("event_id") * 11) % 241 - 120).cast("double")
+    claims = ev.select(
+        F.lit(0).alias("bucket_id"),
+        F.concat(F.lit("s"), (F.col("event_id") % 13).cast("string")).alias("source"),
+        F.concat(F.lit("e"), (F.col("user_id") % 30).cast("string")).alias("entity"),
+        F.lit("pos").alias("attr"),
+        format_coordinate(lat, lon).alias("value_str"),
+        F.lit(None).cast("double").alias("value_num"),
+        F.lit("coordinate").alias("claim_type"),
+    )
+    axis_truth = median_per_fact(expand_coordinate_claims(claims)).select(
+        *FACT_KEYS,
+        F.col("truth_num").alias("value_num"),
+        F.lit(None).cast("string").alias("value_str"),
+        F.lit(True).alias("is_numeric"),
+    )
+    return recompose_coordinate_truth(axis_truth).select(
+        "bucket_id", "entity", "attr", "value_str"
+    )
+
+
+def _bucketed_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.dayofyear("ts") % 10).cast("int").alias("bucket_id"),
+        F.concat(F.lit("e"), (F.col("user_id") % 50).cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round(F.col("value"), -2).cast("long").cast("string").alias("value_str"),
+    )
+
+
+def known_entities_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: cumulative known-entity set in first-seen form (known at bucket b
+    iff first_bucket < b) — reference compute_known_entities ravels entity
+    ids and claim values together, so both feed the set."""
+    from trustfuse_spark.operators.bucketize import first_seen_values
+
+    return first_seen_values(_bucketed_claims(spark, sf_dir)).select(
+        "value", F.col("first_bucket").cast("int").alias("first_bucket")
+    )
+
+
+def seen_values_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: cumulative seen-values per (entity, attr) at bucket 5, array form."""
+    from trustfuse_spark.operators.bucketize import cumulative_seen_values
+
+    return cumulative_seen_values(_bucketed_claims(spark, sf_dir), upto=5)
+
+
+def evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL evaluation operator (operators/evaluation.evaluate) over
+    planted truth/GT/claims derived from events; the oracle recomputes the
+    reference's set algebra (TP/FP/TN/FN over GT-entity-restricted pairs,
+    P=1 when FP=0) independently in SQL."""
+    from trustfuse_spark.operators.evaluation import evaluate
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofyear("ts") % 5).cast("int").alias("bucket_id"),
+        F.concat(F.lit("e"), (F.col("user_id") % 25).cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round(F.col("value"), -2).cast("long").cast("string").alias("value_str"),
+        "event_id",
+        (F.col("user_id") % 25).alias("eid"),
+    )
+    claims = ev.select("bucket_id", "entity", "attr", "value_str")
+    w = Window.partitionBy("bucket_id", "entity", "attr").orderBy("event_id")
+    truth = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("bucket_id", "entity", "attr", "value_str")
+    )
+    gt = (
+        ev.filter((F.col("eid") < 15) & (F.col("event_id") % 2 == 0))
+        .groupBy("bucket_id", "entity", "attr")
+        .agg(F.sort_array(F.collect_set("value_str")).alias("gt_values"))
+    )
+    m = evaluate(truth, gt, claims)
+    return m.select(
+        "bucket_id", "attr", "gt_n", "tp", "fp", "tn", "fn",
+        F.round("p", 6).alias("p"), F.round("r", 6).alias("r"),
+        F.round("acc", 6).alias("acc"), F.round("f1", 6).alias("f1"),
+        F.round("c_rate", 6).alias("c_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -513,6 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "ivf_ann_topk": ivf_ann_topk,
         "docs_pipeline_triples": docs_pipeline_triples,
+        "coordinate_fusion": coordinate_fusion,
+        "known_entities_cum": known_entities_cum,
+        "seen_values_cum": seen_values_cum,
+        "evaluation_metrics": evaluation_metrics,
     }
 
 
@@ -799,8 +912,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'e' || CAST(user_id % 40 AS VARCHAR) AS entity,
                      event_type AS attr,
                      CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str,
+                     CASE WHEN event_id % 5 < 2
+                          THEN '192.168.' || CAST(event_id % 4 AS VARCHAR) || '.' || CAST(event_id % 7 AS VARCHAR)
+                          ELSE 'u' || CAST(event_id % 9 AS VARCHAR) END AS source,
                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
               FROM events),
+            srcstats AS (
+              SELECT entity, attr, value_str,
+                     COUNT(DISTINCT source) AS n_src,
+                     COUNT(DISTINCT CASE WHEN source LIKE '192.%' THEN source END) AS n_ip
+              FROM ev GROUP BY entity, attr, value_str),
             flagged AS (
               SELECT *, CASE WHEN sec - LAG(sec) OVER w > 7200 THEN 1 ELSE 0 END AS brk
               FROM ev WINDOW w AS (PARTITION BY entity, attr, value_str ORDER BY ts)),
@@ -816,9 +937,110 @@ def oracle_sql() -> dict[str, str]:
             presence AS (
               SELECT entity, attr, value_str, CAST(SUM(e - s) AS BIGINT) AS presence_s
               FROM intervals GROUP BY entity, attr, value_str)
-            SELECT entity, attr, value_str, presence_s,
-                   CAST(presence_s * 1.0 / MAX(presence_s) OVER (PARTITION BY entity, attr) > 0.5 AS INT) AS accepted
-            FROM presence
+            SELECT p.entity, p.attr, p.value_str, p.presence_s,
+                   CAST((p.presence_s * 1.0 / MAX(p.presence_s) OVER (PARTITION BY p.entity, p.attr) > 0.5)
+                        AND NOT (s.n_ip * 2 > s.n_src) AS INT) AS accepted
+            FROM presence p JOIN srcstats s
+              ON p.entity = s.entity AND p.attr = s.attr AND p.value_str = s.value_str
+        """,
+        "coordinate_fusion": """
+            WITH ev AS (
+              SELECT 'e' || CAST(user_id % 30 AS VARCHAR) AS entity,
+                     CAST((event_id * 7) % 121 - 60 AS DOUBLE) AS lat,
+                     CAST((event_id * 11) % 241 - 120 AS DOUBLE) AS lon
+              FROM events)
+            SELECT 0 AS bucket_id, entity, 'pos' AS attr,
+                   '(' || CAST(quantile_cont(lat, 0.5) AS VARCHAR) || ', '
+                       || CAST(quantile_cont(lon, 0.5) AS VARCHAR) || ')' AS value_str
+            FROM ev GROUP BY entity
+        """,
+        "evaluation_metrics": """
+            WITH ev AS (
+              SELECT dayofyear(ts) % 5 AS bucket_id,
+                     'e' || CAST(user_id % 25 AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value,
+                     event_id, user_id % 25 AS eid
+              FROM events),
+            claims AS (SELECT DISTINCT bucket_id, attr, entity, value FROM ev),
+            it_raw AS (
+              SELECT bucket_id, attr, entity, value FROM (
+                SELECT bucket_id, attr, entity, value,
+                       ROW_NUMBER() OVER (PARTITION BY bucket_id, entity, attr ORDER BY event_id) AS rn
+                FROM ev) WHERE rn = 1),
+            gt_pairs AS (
+              SELECT DISTINCT bucket_id, attr, entity, value
+              FROM ev WHERE eid < 15 AND event_id % 2 = 0),
+            gt_entities AS (SELECT DISTINCT bucket_id, entity FROM gt_pairs),
+            it_pairs AS (
+              SELECT DISTINCT i.* FROM it_raw i
+              JOIN gt_entities g ON i.bucket_id = g.bucket_id AND i.entity = g.entity),
+            dpp AS (
+              SELECT DISTINCT c.* FROM claims c
+              JOIN gt_entities g ON c.bucket_id = g.bucket_id AND c.entity = g.entity),
+            tp AS (SELECT i.bucket_id, i.attr, COUNT(*) AS tp FROM it_pairs i
+                   JOIN gt_pairs g USING (bucket_id, attr, entity, value)
+                   GROUP BY i.bucket_id, i.attr),
+            fp AS (SELECT i.bucket_id, i.attr, COUNT(*) AS fp FROM it_pairs i
+                   WHERE NOT EXISTS (SELECT 1 FROM gt_pairs g
+                     WHERE g.bucket_id=i.bucket_id AND g.attr=i.attr AND g.entity=i.entity AND g.value=i.value)
+                   GROUP BY i.bucket_id, i.attr),
+            tn AS (SELECT d.bucket_id, d.attr, COUNT(*) AS tn FROM dpp d
+                   WHERE NOT EXISTS (SELECT 1 FROM gt_pairs g
+                     WHERE g.bucket_id=d.bucket_id AND g.attr=d.attr AND g.entity=d.entity AND g.value=d.value)
+                     AND NOT EXISTS (SELECT 1 FROM it_pairs i
+                     WHERE i.bucket_id=d.bucket_id AND i.attr=d.attr AND i.entity=d.entity AND i.value=d.value)
+                   GROUP BY d.bucket_id, d.attr),
+            fn AS (SELECT d.bucket_id, d.attr, COUNT(*) AS fn FROM dpp d
+                   WHERE NOT EXISTS (SELECT 1 FROM it_pairs i
+                     WHERE i.bucket_id=d.bucket_id AND i.attr=d.attr AND i.entity=d.entity AND i.value=d.value)
+                     AND EXISTS (SELECT 1 FROM gt_pairs g
+                     WHERE g.bucket_id=d.bucket_id AND g.attr=d.attr AND g.entity=d.entity AND g.value=d.value)
+                   GROUP BY d.bucket_id, d.attr),
+            gtn AS (SELECT bucket_id, attr, COUNT(*) AS gt_n FROM gt_pairs GROUP BY bucket_id, attr),
+            m AS (
+              SELECT gtn.bucket_id, gtn.attr, gtn.gt_n,
+                     COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+                     COALESCE(tn.tn, 0) AS tn, COALESCE(fn.fn, 0) AS fn
+              FROM gtn
+              LEFT JOIN tp USING (bucket_id, attr) LEFT JOIN fp USING (bucket_id, attr)
+              LEFT JOIN tn USING (bucket_id, attr) LEFT JOIN fn USING (bucket_id, attr)),
+            pr AS (
+              SELECT *,
+                     CASE WHEN fp = 0 THEN 1.0 ELSE tp * 1.0 / (tp + fp) END AS p,
+                     CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS r,
+                     CASE WHEN tp+fp+tn+fn > 0 THEN (tp+tn) * 1.0 / (tp+fp+tn+fn) ELSE 0.0 END AS acc
+              FROM m)
+            SELECT bucket_id, attr, gt_n, tp, fp, tn, fn,
+                   ROUND(p, 6) AS p, ROUND(r, 6) AS r, ROUND(acc, 6) AS acc,
+                   ROUND(CASE WHEN p + r > 0 THEN 2*p*r/(p+r) ELSE 0.0 END, 6) AS f1,
+                   ROUND(tp * 1.0 / gt_n, 6) AS c_rate
+            FROM pr
+        """,
+        "known_entities_cum": """
+            WITH cl AS (
+              SELECT dayofyear(ts) % 10 AS bucket_id,
+                     'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
+              FROM events),
+            u AS (SELECT entity AS value, bucket_id FROM cl
+                  UNION ALL
+                  SELECT value_str AS value, bucket_id FROM cl)
+            SELECT value, CAST(MIN(bucket_id) AS INT) AS first_bucket
+            FROM u WHERE value IS NOT NULL GROUP BY value
+        """,
+        "seen_values_cum": """
+            WITH cl AS (
+              SELECT dayofyear(ts) % 10 AS bucket_id,
+                     'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
+              FROM events),
+            fs AS (SELECT entity, attr, value_str, MIN(bucket_id) AS first_bucket
+                   FROM cl GROUP BY entity, attr, value_str)
+            SELECT entity, attr, list_sort(list(value_str)) AS values_seen
+            FROM fs WHERE first_bucket <= 5 GROUP BY entity, attr
         """,
         "gt_carry_forward": """
             WITH sparse AS (

@@ -38,6 +38,16 @@ def test_resume_skips_done_stages(spark, tmp_path):
     triples3, _ = run_resumable_pipeline(spark, empty_docs, root, "run1", model="majority")
     assert {tuple(r) for r in triples3.collect()} == rows1
 
+    # lineage record lost (kill between parquet commit and lineage append)
+    # -> the stage is NOT done and re-runs; record reappears
+    os.remove(os.path.join(root, "run1", "_lineage", "triples.json"))
+    triples4, run4 = run_resumable_pipeline(spark, empty_docs, root, "run1", model="majority")
+    assert {tuple(r) for r in triples4.collect()} == rows1
+    tri_rec = [rec for rec in run4.lineage() if rec["stage"] == "triples"][0]
+    # file-level metrics: per written file, summing to the stage row count
+    assert sum(p["rows"] for p in tri_rec["partitions"]) == tri_rec["rows"]
+    assert all(p["file"].endswith(".parquet") for p in tri_rec["partitions"])
+
 
 def test_stream_session_buckets(spark, tmp_path):
     rows = [

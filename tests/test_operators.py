@@ -191,3 +191,74 @@ def test_multimodal_plumbing(spark):
     assert plan.count() >= 0  # only videos sampled
     with pytest.raises(Exception):
         extract_features(media, fake=False).collect()
+
+
+def test_presence_ip_majority_veto(spark):
+    """automatic_labeling.py:486-497: a value whose distinct sources are
+    IP-majority is rejected even above the presence ratio."""
+    day = 86400
+    rows = []
+    # v1: long presence, 3 sources of which 2 are IPs -> vetoed
+    for i, d in enumerate(range(0, 121, 10)):
+        src = ["10.0.0.1", "192.168.1.7", "alice"][i % 3]
+        rows.append(("A", "p", "v1", src, d * day))
+    # v2: long presence, named-majority -> accepted
+    for i, d in enumerate(range(0, 121, 10)):
+        src = ["bob", "carol", "10.0.0.9"][i % 3]
+        rows.append(("A", "q", "v2", src, d * day))
+    df = spark.createDataFrame(
+        rows, ["entity", "attr", "value_str", "source", "sec"]
+    ).withColumn("ts", F.to_timestamp(F.from_unixtime(F.col("sec") + 1577836800)))
+    out = {r["value_str"]: r["accepted"] for r in presence_intervals(df).collect()}
+    assert out["v1"] is False  # ratio 1.0 but IP-majority
+    assert out["v2"] is True
+    # veto off (or no source column) -> pure ratio accepts both
+    out2 = {
+        r["value_str"]: r["accepted"]
+        for r in presence_intervals(df, ip_veto=False).collect()
+    }
+    assert out2["v1"] is True and out2["v2"] is True
+
+
+def test_known_entities_and_seen_values(spark):
+    """P6 (compute_known_entities, dataset.py:84-95) and W5 (cumulative
+    seen-values, automatic_labeling.py:356-370) in first-seen form."""
+    from trustfuse_spark.operators.bucketize import (
+        cumulative_seen_values,
+        first_seen_values,
+        mark_known_entities,
+        seen_values_first_bucket,
+    )
+
+    rows = [
+        (0, "s1", "e1", "p", "v1"),
+        (1, "s1", "e2", "p", "e1"),   # e1 appears as a VALUE here
+        (2, "s2", "e1", "p", "v2"),
+        (2, "s2", "e3", "p", "v1"),
+    ]
+    claims = spark.createDataFrame(
+        rows, "bucket_id int, source string, entity string, attr string, value_str string"
+    )
+    fs = {r["value"]: r["first_bucket"] for r in first_seen_values(claims).collect()}
+    # entities AND claim values ravel into one set, like the reference
+    assert fs == {"e1": 0, "v1": 0, "e2": 1, "e3": 2, "v2": 2}
+
+    known = {
+        (r["entity"], r["bucket_id"]): r["is_known"]
+        for r in mark_known_entities(claims).collect()
+    }
+    assert known[("e1", 0)] is False       # first sighting
+    assert known[("e1", 2)] is True        # seen in bucket 0 < 2
+    assert known[("e2", 1)] is False       # e2 never appeared before 1
+    assert known[("e3", 2)] is False
+
+    sv = {
+        (r["entity"], r["attr"]): r["first_bucket"]
+        for r in seen_values_first_bucket(claims).filter(F.col("value_str") == "v1").collect()
+    }
+    assert sv == {("e1", "p"): 0, ("e3", "p"): 2}
+    cum1 = {
+        (r["entity"], r["attr"]): r["values_seen"]
+        for r in cumulative_seen_values(claims, upto=1).collect()
+    }
+    assert cum1 == {("e1", "p"): ["v1"], ("e2", "p"): ["e1"]}

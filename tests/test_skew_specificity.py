@@ -75,3 +75,46 @@ def test_embedding_near_dups(spark):
         assert (i, 100 + i) in got, f"planted near-dup {i} missed"
     # no false accepts among the random vectors
     assert all(b >= 100 for a, b in got)
+
+
+def test_embedding_near_dups_bruteforce_parity(spark):
+    """Banded LSH vs numpy all-pairs cosine on a seeded clustered corpus:
+    every reported pair is truly >= threshold (verify stage is exact) and
+    recall stays high (deterministic planes -> reproducible)."""
+    rng = np.random.RandomState(42)
+    centers = rng.randn(6, 16)
+    vecs = []
+    for ci, c in enumerate(centers):
+        for k in range(5):  # 5 noisy copies per center -> near-dup cliques
+            vecs.append(c + 0.02 * rng.randn(16))
+    arr = np.array(vecs)
+    norms = np.linalg.norm(arr, axis=1)
+    cos = (arr @ arr.T) / np.outer(norms, norms)
+    truth_pairs = {
+        (i, j)
+        for i in range(len(arr))
+        for j in range(i + 1, len(arr))
+        if cos[i, j] >= 0.95
+    }
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, "vec_id", "embedding", threshold=0.95).collect()
+    }
+    assert got <= truth_pairs, f"false accepts: {got - truth_pairs}"  # exact verify
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.8, f"recall {recall:.3f} over {len(truth_pairs)} true pairs"
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    """A degenerate hot bucket (many identical vectors) is shed instead of
+    going quadratic."""
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dups(df, "vec_id", "embedding", max_bucket=10)
+    assert capped.count() == 0  # all buckets oversized -> shed
+    uncapped = embedding_near_dups(df, "vec_id", "embedding", max_bucket=10_000)
+    assert uncapped.count() == 50 * 49 // 2

@@ -90,6 +90,12 @@ class ClaimsDataset:
             fn = MODELS[model]
         except KeyError:
             raise ValueError(f"unknown model {model!r}; available: {sorted(MODELS)}")
+        if any(str(t).lower() == "coordinate" for t in self.attr_types.values()):
+            # '(lat, lon)' claims fuse per-axis and recompose — the reference
+            # drops coordinate facts entirely (see operators/coordinates.py)
+            from trustfuse_spark.operators.coordinates import fuse_with_coordinates
+
+            return fuse_with_coordinates(self.claims, fn, **kwargs)
         return fn(self.claims, **kwargs)
 
     def triples(self, result: FusionResult) -> DataFrame:

@@ -120,6 +120,30 @@ def normalize_quantity(c: Column) -> Column:
     return F.when(F.lower(c).rlike(r"\d\s*cm\b"), n / 100.0).otherwise(n)
 
 
+# str(tuple) rendering of the reference's globecoordinate values:
+# "(48.858333, 2.294167)" (generate_conflicting_dataset.py:267-271)
+_COORD_RE = r"^\(\s*([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*,\s*([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)\s*\)$"
+
+
+def coordinate_lat(c: Column) -> Column:
+    """'(lat, lon)' -> lat double, null when not coordinate-shaped."""
+    m = F.regexp_extract(F.trim(c), _COORD_RE, 1)
+    return F.when(m != "", m.cast("double"))
+
+
+def coordinate_lon(c: Column) -> Column:
+    m = F.regexp_extract(F.trim(c), _COORD_RE, 2)
+    return F.when(m != "", m.cast("double"))
+
+
+def format_coordinate(lat: Column, lon: Column) -> Column:
+    """Canonical '(lat, lon)' rendering matching Python str(tuple) for the
+    shortest-round-trip double strings both runtimes produce."""
+    return F.concat(
+        F.lit("("), lat.cast("string"), F.lit(", "), lon.cast("string"), F.lit(")")
+    )
+
+
 def normalize_claim_value(value_str: Column, claim_type: Column) -> Column:
     """Typed value_str -> value_num for the fusion numeric branch.
 

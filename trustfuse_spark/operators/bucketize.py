@@ -147,18 +147,84 @@ def revision_diff(revisions: DataFrame) -> DataFrame:
     )
 
 
+def first_seen_values(
+    claims: DataFrame, cols: tuple[str, ...] = ("entity", "value_str")
+) -> DataFrame:
+    """(value, first_bucket) — the scalable form of the reference's
+    cumulative known-entity set (compute_known_entities, dataset.py:84-95:
+    is_known[b] = union of every cell value of buckets < b, all columns but
+    Source raveled together).
+
+    Membership test: value is known AT bucket b  ⟺  first_bucket < b.
+    The reference materializes a growing python set per bucket; min-per-value
+    carries identical information in one aggregation and never re-stores a
+    value per bucket — the representation that survives 10^12 rows.
+    """
+    parts = [
+        claims.select(F.col(c).cast("string").alias("value"), "bucket_id")
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.min("bucket_id").alias("first_bucket"))
+    )
+
+
+def mark_known_entities(claims: DataFrame) -> DataFrame:
+    """claims + is_known: entity (or any prior cell value, per the
+    reference's ravel) appeared in a bucket strictly before this one."""
+    fs = first_seen_values(claims).withColumnRenamed("value", "entity")
+    return claims.join(fs, "entity", "left").select(
+        *claims.columns,
+        (F.col("bucket_id") > F.coalesce(F.col("first_bucket"), F.lit(2**31))).alias(
+            "is_known"
+        ),
+    )
+
+
+def seen_values_first_bucket(claims: DataFrame) -> DataFrame:
+    """(entity, attr, value_str, first_bucket) — cumulative seen-values per
+    property (automatic_labeling.py:356-370: seen_values[qid][i] carries
+    every (value, value_id) of buckets <= i). Membership: value in
+    seen_values at bucket b  ⟺  first_bucket <= b."""
+    return claims.groupBy("entity", "attr", "value_str").agg(
+        F.min("bucket_id").alias("first_bucket")
+    )
+
+
+def cumulative_seen_values(claims: DataFrame, upto: int) -> DataFrame:
+    """Array-form parity view for bounded scales: per (entity, attr) the
+    sorted set of values seen in buckets <= upto. The first_bucket form
+    above is the scale path — this materializes the arrays."""
+    return (
+        seen_values_first_bucket(claims)
+        .filter(F.col("first_bucket") <= upto)
+        .groupBy("entity", "attr")
+        .agg(F.sort_array(F.collect_set("value_str")).alias("values_seen"))
+    )
+
+
 def presence_intervals(
     events: DataFrame,
     gamma_s: int = GAMMA_S,
     beta_s: int = BETA_S,
     accept_ratio: float = 0.75,
     ts_col: str = "ts",
+    ip_veto: bool = True,
 ) -> DataFrame:
     """Auto-labeling presence intervals (automatic_labeling.py:80-165,
     486-510): per (entity, attr, value) merge observation timestamps into
     intervals closing on gaps > gamma, drop intervals spanning < beta, then
     accept values whose total presence / max presence over the attr >
-    accept_ratio.
+    accept_ratio AND that are not IP-majority-sourced (a value most of whose
+    distinct sources are IP/MAC-shaped is vetoed, automatic_labeling.py:
+    486-497 counter_ip > len(sources)/2). The veto applies when the input
+    carries a ``source`` column and ip_veto is True; inputs without source
+    lineage fall back to the pure ratio rule.
 
     Pure gaps-and-islands windows — no UDF.
     """
@@ -184,7 +250,17 @@ def presence_intervals(
         F.sum(F.col("end_s") - F.col("start_s")).alias("presence_s")
     )
     w_attr = Window.partitionBy("entity", "attr")
-    return presence.withColumn(
-        "accepted",
-        F.col("presence_s") / F.max("presence_s").over(w_attr) > accept_ratio,
-    )
+    accepted = F.col("presence_s") / F.max("presence_s").over(w_attr) > accept_ratio
+    if ip_veto and "source" in events.columns:
+        from trustfuse_spark.functions.preprocess import is_ip_or_mac
+
+        src_stats = events.groupBy(*keys).agg(
+            F.countDistinct("source").alias("__n_src"),
+            F.countDistinct(
+                F.when(is_ip_or_mac(F.col("source")), F.col("source"))
+            ).alias("__n_ip"),
+        )
+        presence = presence.join(src_stats, keys)
+        accepted = accepted & ~(F.col("__n_ip") * 2 > F.col("__n_src"))
+        return presence.withColumn("accepted", accepted).drop("__n_src", "__n_ip")
+    return presence.withColumn("accepted", accepted)

@@ -192,10 +192,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
-    16-bit chunks (a pair within distance 3 shares at least one of 4 chunks)."""
+    16-bit chunks (a pair within distance 3 shares at least one of 4 chunks).
+    Chunk buckets larger than max_bucket are shed before the self-join — the
+    same hot-bucket guard as lsh_candidate_pairs (a degenerate chunk value,
+    e.g. all-boilerplate corpora, otherwise goes quadratic)."""
     sh = simhash(df, id_col, text_col).cache()
     chunks = sh.select(
         "id",
@@ -211,6 +218,9 @@ def simhash_near_dups(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = chunks.withColumn(
+        "__bsize", F.count("*").over(Window.partitionBy("chunk_idx", "chunk"))
+    ).filter(F.col("__bsize") <= max_bucket)
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
     pairs = (
@@ -230,16 +240,24 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    lsh_planes: int = 12,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding cosine near-dup pairs. Blocking: random-hyperplane (sign)
-    LSH sketch from seeded deterministic pseudo-planes, then exact cosine on
-    candidates sharing a sketch."""
+    """Embedding cosine near-dup pairs: BANDED random-hyperplane LSH, exact
+    cosine verify on candidates sharing any band's full sketch.
+
+    For cosine t the per-plane agreement is p = 1 - acos(t)/pi, so recall is
+    1 - (1 - p^r)^b: at t=0.95 the b=4/r=6 default gives ~0.95 vs ~0.28 for
+    a single 12-plane sketch (the recall cliff VERDICT r1 flagged). Band
+    buckets over max_bucket are shed (hot-bucket quadratic guard), matching
+    lsh_candidate_pairs / simhash_near_dups.
+    """
     dim_probe = df.select(F.size(vec_col).alias("d")).first()["d"]
-    # deterministic pseudo-hyperplanes: sign of sum_j v_j * g(i,j), where
-    # g(i,j) = centered hash noise — seedable, no driver-side matrices
-    sketch_bits = []
-    for p in range(lsh_planes):
+    # deterministic pseudo-hyperplanes: sign of sum_j v_j * g(p,j), where
+    # g(p,j) = centered hash noise — seedable, no driver-side matrices
+    bits = []
+    for p in range(bands * planes_per_band):
         prod = F.aggregate(
             F.zip_with(
                 F.col(vec_col),
@@ -254,11 +272,34 @@ def embedding_near_dups(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sketch_bits.append(F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)))
-    sketch = F.concat_ws("", *[b.cast("string") for b in sketch_bits])
-    sk = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sketch"))
-    a = sk.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sketch")
-    b = sk.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sketch")
+        bits.append(F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)))
+    band_sketches = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[bits[bd * planes_per_band + r].cast("string") for r in range(planes_per_band)],
+            )
+            for bd in range(bands)
+        ]
+    )
+    sk = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(band_sketches).alias("band", "sketch"),
+    )
+    sk = sk.withColumn(
+        "__bsize", F.count("*").over(Window.partitionBy("band", "sketch"))
+    ).filter(F.col("__bsize") <= max_bucket)
+    a = sk.select("band", "sketch", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = sk.select("band", "sketch", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["band", "sketch"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in k bands appears k times: dedupe BEFORE the
+        # cosine so the verify cost is once per candidate pair
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -271,10 +312,6 @@ def embedding_near_dups(
             lambda acc, x: acc + x,
         )
     )
-    return (
-        a.join(b, "sketch")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .distinct()
-    )
+    return cand.select(
+        "id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -136,9 +136,17 @@ def specificity(
 
 
 def mnad(truth: DataFrame, gt: DataFrame) -> DataFrame:
-    """Mean normalized absolute deviation for numeric attrs (reference
-    compute_mnad, evaluation.py:355-385): mean |truth - gt| / std_pop(gt)
-    per (bucket, attr), over entities present in both."""
+    """Mean normalized absolute deviation for numeric attrs: per (bucket,
+    attr), mean |truth - gt| over entities present in both, normalized by
+    std_pop(gt).
+
+    DELIBERATE DIVERGENCE from the reference (compute_mnad,
+    evaluation.py:374-381): the reference compares every GT value against
+    only the FIRST fused value (ts[0]) and normalizes by var(|gt - ts[0]|)
+    — an aggregate of one attr's first row, not a per-entity deviation. We
+    align truth to GT per entity and normalize by the GT population std,
+    which is the metric the reference's docstring describes. Pinned here
+    like the other documented divergences (SURVEY §7.4)."""
     g = gt.filter(F.col("gt_num").isNotNull()).select(
         "bucket_id", "entity", "attr", "gt_num"
     )

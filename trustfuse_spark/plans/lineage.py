@@ -35,7 +35,15 @@ class StageRun:
         return os.path.join(self.root, self.run_id, "_lineage")
 
     def is_done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._stage_path(stage), "_SUCCESS"))
+        """Done = output table committed AND its lineage record exists. A
+        kill between the parquet commit and the lineage append must re-run
+        the stage (mode=overwrite makes that idempotent) — _SUCCESS alone
+        would resume a stage with no lineage record."""
+        return os.path.exists(
+            os.path.join(self._stage_path(stage), "_SUCCESS")
+        ) and os.path.exists(
+            os.path.join(self._lineage_path(), f"{stage}.json")
+        )
 
     def materialize(self, stage: str, df_fn, partition_by: tuple[str, ...] = ()) -> DataFrame:
         """Run df_fn() -> DataFrame unless the stage output already exists;
@@ -53,8 +61,11 @@ class StageRun:
             writer.parquet(path)
             wall_ms = int((time.perf_counter() - t0) * 1000)
             out = self.spark.read.parquet(path)
+            # file-level lineage: rows per WRITTEN file (input_file_name of
+            # the read-back scan), not spark_partition_id of the read split —
+            # the read planner may coalesce/split files differently
             parts = (
-                out.groupBy(F.spark_partition_id().alias("partition_id"))
+                out.groupBy(F.input_file_name().alias("file"))
                 .count()
                 .collect()
             )
@@ -62,7 +73,10 @@ class StageRun:
                 stage,
                 wall_ms,
                 rows=sum(r["count"] for r in parts),
-                partitions=[(r["partition_id"], r["count"]) for r in parts],
+                partitions=[
+                    (os.path.relpath(r["file"].removeprefix("file://"), path), r["count"])
+                    for r in parts
+                ],
             )
         self.stages_done.append(stage)
         return self.spark.read.parquet(path)
@@ -74,7 +88,7 @@ class StageRun:
             "stage": stage,
             "rows": rows,
             "wall_ms": wall_ms,
-            "partitions": [{"partition_id": p, "rows": n} for p, n in partitions],
+            "partitions": [{"file": p, "rows": n} for p, n in partitions],
             "ts": time.time(),
         }
         with open(

@@ -89,21 +89,32 @@ def load_wikiconflict(
                     vals = _cell_values(row[attr])
                     if vals and ent is not None:
                         gt_rows.append((int(bid), ent, attr, vals))
-        # partial orders: {attr: [[least specific...], ..., [most specific]]}
+        # partial orders: {attr: [chain][level][value]} — a LIST of chains,
+        # each chain a list of levels from least to most specific
+        # (create_partial_order_graphs, dataset.py:397-434: per chain
+        # max_depth = len(chain)-1, coeff = depth/max_depth, leaf only on
+        # the deepest level). max(...,1) guards the single-level chain the
+        # reference would crash on with 0/0.
         for attr, chains in (gtd.get("value_order") or {}).items():
-            if not chains:
-                continue
-            max_depth = max(len(chains) - 1, 1)
-            for depth, level in enumerate(chains):
-                for val in level or []:
-                    if val is not None:
-                        po[(attr, str(val))] = (depth, max_depth)
+            for chain in chains or []:
+                if not chain:
+                    continue
+                max_depth = max(len(chain) - 1, 1)
+                deepest = len(chain) - 1
+                for depth, level in enumerate(chain):
+                    for val in level or []:
+                        if val is not None:
+                            po[(attr, str(val))] = (
+                                depth,
+                                max_depth,
+                                depth == deepest and depth > 0,
+                            )
 
     claims = spark.createDataFrame(claim_rows, CLAIMS_SCHEMA)
     gt = spark.createDataFrame(gt_rows, GT_SCHEMA) if gt_rows else spark.createDataFrame([], GT_SCHEMA)
     po_rows = [
-        (attr, val, depth, depth / max_depth, depth == max_depth)
-        for (attr, val), (depth, max_depth) in po.items()
+        (attr, val, depth, depth / max_depth, leaf)
+        for (attr, val), (depth, max_depth, leaf) in po.items()
     ]
     partial_orders = (
         spark.createDataFrame(po_rows, PO_SCHEMA)
