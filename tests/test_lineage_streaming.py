@@ -95,3 +95,25 @@ def test_stream_session_buckets(spark, tmp_path):
     q2.awaitTermination(120)
     vout = spark.sql("SELECT * FROM votes_out").collect()
     assert sum(r["votes"] for r in vout) == 4
+
+
+def test_sink_seam(spark, tmp_path):
+    """ParquetSink roundtrip + the Iceberg seam failing loudly without a
+    configured catalog (the sandbox ships no Iceberg runtime)."""
+    import pytest
+
+    from trustfuse_spark.plans.lineage import IcebergSink, ParquetSink
+
+    sink = ParquetSink(str(tmp_path / "tables"))
+    df = spark.range(10).withColumn("b", F.col("id") % 2)
+    sink.write(df, "t1", ("b",))
+    assert sink.exists("t1") and not sink.exists("t2")
+    assert sink.read(spark, "t1").count() == 10
+
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergSink(spark, "iceberg_cat.db")
+
+    # the session catalog is reachable (probe table just doesn't exist):
+    # construction succeeds, exists() is a catalog lookup
+    s2 = IcebergSink(spark, "spark_catalog.default")
+    assert s2.exists("no_such_table") is False
