@@ -101,12 +101,28 @@ def main() -> None:
     small, big = (int(c) for c in args.cores.split(","))
     ent_points = [int(e) for e in str(args.entities).split(",")]
 
-    cells = []
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", args.out)
+    result = {
+        "job": "kg_pipeline_crh3",
+        "input": "synthetic interleaved docs, S=20, R=4",
+        "cores": [small, big],
+        "repeats": args.repeats,
+        "rule": f"(median T{small} / median T{big}) / ({big}/{small})",
+        "cells": [],
+    }
+
+    def flush() -> None:
+        # rewrite after every cell: a killed run keeps every finished cell
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+
+    flush()
     for entities in ent_points:
         c_small = run_cell(small, entities, args.partitions, args.repeats)
         c_big = run_cell(big, entities, args.partitions, args.repeats)
         speedup = c_small["median_wall_sec"] / c_big["median_wall_sec"]
-        cells.append(
+        result["cells"].append(
             {
                 "entities": entities,
                 "small": c_small,
@@ -115,17 +131,7 @@ def main() -> None:
                 "scaling_efficiency": round(speedup / (big / small), 3),
             }
         )
-    result = {
-        "job": "kg_pipeline_crh3",
-        "input": "synthetic interleaved docs, S=20, R=4",
-        "cores": [small, big],
-        "repeats": args.repeats,
-        "rule": f"(median T{small} / median T{big}) / ({big}/{small})",
-        "cells": cells,
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", args.out), "w") as fh:
-        json.dump(result, fh, indent=2)
+        flush()
     print(json.dumps(result))
 
 

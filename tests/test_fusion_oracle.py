@@ -81,3 +81,17 @@ def test_partition_count_invariance(spark, claims_pd):
     a = _spark_truth(fuse_crh(sdf.repartition(1), max_itr=2))
     b = _spark_truth(fuse_crh(sdf.repartition(16), max_itr=2))
     _compare_truth(a, b)
+
+
+def test_crh_partition_count_invariant(spark, claims_df, claims_pd):
+    """SURVEY §7.4 risk 1: results must not depend on shuffle order — run
+    the same fusion under a prime, tiny partition count and re-compare to
+    the oracle."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        res = fuse_crh(claims_df.repartition(5), max_itr=3)
+        want_truth, _ = crh_oracle(claims_pd, max_itr=3)
+        _compare_truth(_spark_truth(res), want_truth)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
