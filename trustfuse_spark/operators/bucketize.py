@@ -42,6 +42,15 @@ def sessionize(
 
     Input: long claims with (source, entity, attr, ts). Output adds
     bucket_id (0-based, per entity, chronological).
+
+    Skew note: the running-sum windows are per-entity and order-dependent,
+    so a hot entity serializes into one task — inherent to session
+    semantics (salting would break the claim order). At 100 TB, cap the
+    damage upstream: split pathological entities by a coarse time range
+    first (a claim stream gapping > delta forms independent sessions, so
+    range-splitting at delta boundaries is exact), or route the few
+    mega-entities through streaming/sessions.py where the state store
+    bounds memory per key.
     """
     ts = F.unix_timestamp(F.col(ts_col))
     w_ent = Window.partitionBy("entity").orderBy(ts_col, "source", "attr")
@@ -160,15 +169,13 @@ def first_seen_values(
     carries identical information in one aggregation and never re-stores a
     value per bucket — the representation that survives 10^12 rows.
     """
-    parts = [
-        claims.select(F.col(c).cast("string").alias("value"), "bucket_id")
-        for c in cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # one scan: explode the raveled columns instead of a per-column union
+    raveled = claims.select(
+        F.explode(F.array(*[F.col(c).cast("string") for c in cols])).alias("value"),
+        "bucket_id",
+    )
     return (
-        out.filter(F.col("value").isNotNull())
+        raveled.filter(F.col("value").isNotNull())
         .groupBy("value")
         .agg(F.min("bucket_id").alias("first_bucket"))
     )
