@@ -97,64 +97,62 @@ def _weight_step(
 def _truth_step(
     cat: DataFrame, num_with_denom: DataFrame, weights: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Unified truth update for both branches in ONE join+groupBy+window.
+    """Truth update WITHOUT the candidate x claim self-join.
 
     Reference semantics (crh.py:65-89): categorical argmax over distinct v
-    of Σ w·1[claim=v]; numeric argmin over claimed v of Σ w·(v-claim)²/denom.
-    The categorical argmax is identical to an argmin of the complementary
-    loss Σ w·1[claim≠v] (the per-fact weight total is candidate-invariant),
-    so both branches share candidates = distinct claimed values, loss(cand)
-    = Σ_claims w · d(cand, claim), argmin with ascending-value ties — one
-    fact-local self-join (rows ≤ claims×distinct per fact, AQE-skew-split)
-    instead of two separate aggregation chains.
+    of sum w*1[claim=v]; numeric argmin over claimed v of
+    sum w*(v-claim)^2/denom. Both collapse to per-fact aggregates — the
+    100 TB shape:
+
+      categorical: argmax_v sum w*1[claim=v] is just the weight sum per
+        claimed value (the reference's own formula — no candidate join).
+      numeric: sum w*(c-v)^2/d = A - 2cB + c^2*C with A=sum(w*v^2)/d,
+        B=sum(w*v)/d, C=sum(w)/d — three sums per fact, then a projection
+        over the distinct claimed values (algebraically identical loss).
+
+    The round-1 implementation materialized the claims x candidates
+    fan-out (up to |sources|^2 rows per fact) and its iterations scaled at
+    ~0.5 efficiency 2->8 cores; this shape is one grouped agg + one
+    fact-key join per branch. Ties stay pinned ascending-value; mixed-type
+    facts score branches independently (one truth row per branch).
     """
     bw = F.broadcast(weights)
-    cat_u = cat.select(
-        *FACT_KEYS, "source",
-        F.col("value_str").alias("vkey"),
-        F.lit(None).cast("double").alias("vnum"),
-        F.lit(None).cast("double").alias("denom"),
-        F.lit(False).alias("is_num"),
+    cat_scored = (
+        cat.join(bw, WEIGHT_KEYS)
+        .groupBy(*FACT_KEYS, "value_str")
+        .agg(F.sum("weight").alias("wsum"))
     )
-    num_u = num_with_denom.select(
-        *FACT_KEYS, "source",
-        F.col("value_num").cast("string").alias("vkey"),
-        F.col("value_num").alias("vnum"),
-        "denom",
-        F.lit(True).alias("is_num"),
+    wc = Window.partitionBy(*FACT_KEYS).orderBy(
+        F.col("wsum").desc(), F.col("value_str").asc()
     )
-    # is_num is part of the fact identity: a fact whose claims mix types
-    # (possible via the public claims API; impossible via docs_to_claims)
-    # scores its categorical and numeric branches independently and yields
-    # one truth row per branch — same as running the two reference branches
-    # side by side, and deterministic where F.first("is_num") was not.
-    unified = cat_u.unionByName(num_u).join(bw, WEIGHT_KEYS)
-    cands = unified.select(
-        *FACT_KEYS, "is_num", F.col("vkey").alias("cand"), F.col("vnum").alias("cnum")
-    ).distinct()
-    loss = F.when(
-        F.col("is_num"),
-        F.col("weight") * (F.col("cnum") - F.col("vnum")) ** 2 / F.col("denom"),
-    ).otherwise(F.col("weight") * (F.col("vkey") != F.col("cand")).cast("double"))
-    scored = (
-        unified.join(cands, FACT_KEYS + ["is_num"])
-        .groupBy(*FACT_KEYS, "is_num", "cand", "cnum")
-        .agg(F.sum(loss).alias("loss"))
-    )
-    # ascending-value ties: numeric by value, categorical by string — cnum
-    # sorts numerically where present, vkey lexically otherwise
-    w = Window.partitionBy(*FACT_KEYS, "is_num").orderBy(
-        F.col("loss").asc(), F.col("cnum").asc_nulls_last(), F.col("cand").asc()
-    )
-    best = (
-        scored.withColumn("__rn", F.row_number().over(w))
+    cat_truth = (
+        cat_scored.withColumn("__rn", F.row_number().over(wc))
         .filter(F.col("__rn") == 1)
+        .select(*FACT_KEYS, F.col("value_str").alias("truth_str"))
     )
-    cat_truth = best.filter(~F.col("is_num")).select(
-        *FACT_KEYS, F.col("cand").alias("truth_str")
+
+    numw = num_with_denom.join(bw, WEIGHT_KEYS).select(
+        *FACT_KEYS, "value_num", "denom", "weight"
     )
-    num_truth = best.filter(F.col("is_num")).select(
-        *FACT_KEYS, F.col("cnum").alias("truth_num")
+    aggs = numw.groupBy(*FACT_KEYS).agg(
+        F.sum(F.col("weight") * F.col("value_num") ** 2 / F.col("denom")).alias("__A"),
+        F.sum(F.col("weight") * F.col("value_num") / F.col("denom")).alias("__B"),
+        F.sum(F.col("weight") / F.col("denom")).alias("__C"),
+    )
+    cands = numw.select(*FACT_KEYS, "value_num").distinct()
+    scored = cands.join(aggs, FACT_KEYS).withColumn(
+        "__loss",
+        F.col("__A")
+        - 2 * F.col("value_num") * F.col("__B")
+        + F.col("value_num") ** 2 * F.col("__C"),
+    )
+    wn = Window.partitionBy(*FACT_KEYS).orderBy(
+        F.col("__loss").asc(), F.col("value_num").asc()
+    )
+    num_truth = (
+        scored.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select(*FACT_KEYS, F.col("value_num").alias("truth_num"))
     )
     return cat_truth, num_truth
 
