@@ -9,7 +9,8 @@ from trustfuse_spark.operators.fusion.base import (
 import pyspark.sql.functions as F
 
 cores = int(sys.argv[1]); E = int(sys.argv[2])
-spark = get_spark(app_name=f"phase_{cores}", master=f"local[{cores}]", shuffle_partitions=64)
+spark = get_spark(app_name=f"phase_{cores}", master=f"local[{cores}]", shuffle_partitions=64,
+                  extra_conf={"spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"})
 spark.range(1000).count()
 docs = gen_docs(spark, n_entities=E, n_sources=20, n_revs=4, num_partitions=64).localCheckpoint(eager=True)
 docs.count()

@@ -24,6 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Both levels run the SAME partitioning (shuffle partitions, input layout)
 # so the only variable is executor-thread count — the local-mode analogue of
 # growing a cluster from N to 4N executors with a fixed data layout.
+#
+# Honesty fix (round 2): local[N] alone limits only TASK threads; the JVM's
+# parallel-GC / netty / compression helper threads still use all 32 host
+# CPUs, so the "2-core" run used to get ~23 free GC threads a real 2-core
+# executor host would never have — deflating measured speedup. Each level is
+# therefore pinned to exactly N CPUs (taskset) and the JVM is told so
+# (ActiveProcessorCount), emulating an N-core executor host.
 _WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -34,7 +41,9 @@ from trustfuse_spark.plans.pipeline import run_pipeline
 
 cores = {cores}
 spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions={partitions})
+                  shuffle_partitions={partitions},
+                  extra_conf={{"spark.driver.extraJavaOptions":
+                               f"-XX:ActiveProcessorCount={{cores}}"}})
 spark.range(1000).count()  # JVM warm
 docs = gen_docs(spark, n_entities={entities}, n_sources=20, n_revs=4,
                 num_partitions={partitions}).localCheckpoint(eager=True)
@@ -51,8 +60,10 @@ print(json.dumps({{"cores": cores, "n_docs": n_docs, "n_triples": n_triples,
 
 def run_level(cores: int, entities: int, partitions: int) -> dict:
     code = _WORKER.format(repo=REPO, cores=cores, entities=entities, partitions=partitions)
+    # Pin the whole process tree (python driver + JVM) to exactly N CPUs.
+    cmd = ["taskset", "-c", f"0-{cores - 1}"] if _has_taskset() else []
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        cmd + [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=1800,
@@ -61,6 +72,12 @@ def run_level(cores: int, entities: int, partitions: int) -> dict:
     if out.returncode != 0:
         raise RuntimeError(f"level {cores} failed:\n{out.stderr[-3000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _has_taskset() -> bool:
+    from shutil import which
+
+    return which("taskset") is not None
 
 
 def _median(xs: list[float]) -> float:
