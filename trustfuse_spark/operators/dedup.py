@@ -31,15 +31,21 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
     """Character n-gram shingle set per row: (id, shingle).
 
     explode(sequence) + substring stays in whole-stage codegen; the previous
     array_distinct(transform(...substr)) built every shingle through the
     interpreted HOF evaluator — measured 6x slower at sf0.1 (12s -> 2s).
-    Distinctness moves to an aggregate (map-side partial dedup)."""
+    Distinctness moves to an aggregate (map-side partial dedup).
+
+    distinct=False skips the dedup shuffle and yields the raw occurrence
+    stream — enough for any idempotent downstream aggregate (min-hash:
+    min over the multiset == min over the set)."""
     lowered = F.lower(F.col(text_col))
-    return (
+    out = (
         _fan_out(df).select(
             F.col(id_col).alias("id"),
             lowered.alias("__t"),
@@ -49,8 +55,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         )
         .select("id", F.expr(f"substring(__t, __i, {int(n)})").alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .dropDuplicates(["id", "shingle"])
     )
+    return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 
 _MINHASH_P = 2147483647  # 2^31 - 1
@@ -131,27 +137,37 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    pairs: DataFrame, shingle_df: DataFrame
+    pairs: DataFrame, shingle_df: DataFrame, min_jaccard: float | None = None
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard."""
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    min_jaccard (optional) applies the size-ratio necessary condition
+    BEFORE the intersection join: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    any pair whose shingle-count ratio is below the threshold cannot pass —
+    an exact (zero-recall-loss) prefilter that keeps the expensive
+    per-shingle join off hopeless candidates."""
     sizes = shingle_df.groupBy("id").agg(F.count("*").alias("n"))
+    sized_pairs = (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+    )
+    if min_jaccard is not None:
+        sized_pairs = sized_pairs.filter(
+            F.least("na", "nb") / F.greatest("na", "nb") >= F.lit(min_jaccard)
+        )
     inter = (
-        pairs.join(shingle_df.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        sized_pairs.join(shingle_df.select(F.col("id").alias("id_a"), "shingle"), "id_a")
         .join(
             shingle_df.select(F.col("id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
-        )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
     )
 
 
@@ -169,12 +185,49 @@ def near_duplicates_minhash(
     Default banding b=4, r=8 puts the LSH S-curve knee at ~(1/4)^(1/8)=0.84,
     matched to the 0.8 verify threshold — b=8/r=4 (knee 0.59) floods the
     verifier with sub-threshold candidates (measured 400x more pairs on
-    vocabulary-dense corpora)."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    pairs = lsh_candidate_pairs(
-        minhash_signatures(sh, num_hashes), bands, num_hashes // bands
+    vocabulary-dense corpora).
+
+    Two 100 TB-shape choices (also the sf0.1 bench win, 12.9s -> ~6s):
+      * signatures read the RAW shingle occurrence stream — min() is
+        idempotent, so the per-corpus (id, shingle) dedup shuffle is pure
+        waste; partial aggregation collapses duplicates map-side for free;
+      * the exact-Jaccard verifier sees only the shingle sets of ids that
+        appear in some candidate pair (broadcast semi-join) — never the
+        full corpus shingle table.
+    """
+    raw = shingles(df, id_col, text_col, n, distinct=False)
+    sigs = minhash_signatures(raw, num_hashes).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    # Signature-agreement prefilter: the expected fraction of matching
+    # minhashes IS the Jaccard, so pairs estimated >3 sigma below the
+    # threshold cannot plausibly verify (miss probability ~1e-3 for a pair
+    # sitting exactly AT the threshold, vanishing above it). On banded
+    # corpora with heavy template overlap this sheds the bulk of
+    # sub-threshold candidates before the per-shingle intersection join.
+    import math
+
+    cutoff = threshold - 3.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
-    return exact_jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+    pairs = (
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .filter(matches >= F.lit(cutoff * num_hashes))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    # semi-join BEFORE the explode: only candidate docs are re-shingled
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = shingles(cand_docs, id_col, text_col, n)
+    return exact_jaccard(pairs, sh_cand, min_jaccard=threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
