@@ -130,6 +130,55 @@ def test_dedup_exact_and_near(spark):
     assert not any(4 in p for p in sh_pairs)
 
 
+def test_minhash_prefilters_lossless(spark):
+    """The verify-stage prefilters (signature-agreement 3-sigma cut +
+    size-ratio bound + candidates-only shingling) must not drop any pair
+    the unfiltered LSH-then-exact-Jaccard path would emit: compare against
+    lsh_candidate_pairs -> exact_jaccard with no prefilter on a seeded
+    corpus of template near-dups + random chaff."""
+    import random
+
+    from trustfuse_spark.operators.dedup import (
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "spark", "fusion", "claim",
+             "entity", "truth", "graph", "bucket", "window", "shuffle"]
+    rows = []
+    doc_id = 0
+    for t in range(20):  # 20 templates x 4 variants with small edits
+        base = [rng.choice(words) for _ in range(30)]
+        for v in range(4):
+            text = list(base)
+            for _ in range(v):  # v in-place word substitutions
+                text[rng.randrange(len(text))] = rng.choice(words)
+            rows.append((doc_id, " ".join(text)))
+            doc_id += 1
+    for _ in range(40):  # random chaff
+        rows.append((doc_id, " ".join(rng.choice(words) for _ in range(30))))
+        doc_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in near_duplicates_minhash(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    sh_all = shingles(df, "doc_id", "text", 3)
+    cand = lsh_candidate_pairs(minhash_signatures(sh_all, 32), 4, 8)
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in exact_jaccard(cand, sh_all)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus must actually exercise the path
+
+
 def test_linking_canonicalize(spark):
     mentions = spark.createDataFrame(
         [("Barack Obama",), ("Barack Obamaa",), ("B. Obama",), ("Angela Merkel",)],
