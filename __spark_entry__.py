@@ -558,6 +558,37 @@ def seen_values_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulative_seen_values(_bucketed_claims(spark, sf_dir), upto=5)
 
 
+def reverse_map_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 reverse mapping (bucketize.reverse_map) as a driver gate: fuse
+    majority over the event claims, then map each fused value back to the
+    SEED row that first claimed it (first match pinned by event_id —
+    reference .iloc[0], dataset.py:239/247). The seed token is the claiming
+    event_id, so any wrong first-match choice changes the value hash."""
+    from trustfuse_spark.operators.bucketize import reverse_map
+    from trustfuse_spark.operators.fusion.majority import fuse_majority
+
+    ev = _t(spark, sf_dir, "events")
+    seed = ev.select(
+        F.lit(0).alias("bucket_id"),
+        F.concat(F.lit("e"), F.col("user_id").cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round("value", -1).cast("string").alias("value_str"),
+        F.concat(F.lit("ev"), F.col("event_id").cast("string")).alias("seed_value"),
+        F.col("event_id").alias("doc_id"),
+    )
+    truth = fuse_majority(_engine_claims(spark, sf_dir)).truth.select(
+        "bucket_id", "entity", "attr",
+        F.col("value_num").alias("__t"),
+        F.col("value_num").cast("string").alias("value_str"),
+    )
+    out = reverse_map(truth, seed, order_cols=("doc_id",))
+    return out.select(
+        "entity", "attr",
+        F.round("__t", 6).alias("fused_value"),
+        "formatted_value",
+    )
+
+
 def evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL evaluation operator (operators/evaluation.evaluate) over
     planted truth/GT/claims derived from events; the oracle recomputes the
@@ -625,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coordinate_fusion": coordinate_fusion,
         "known_entities_cum": known_entities_cum,
         "seen_values_cum": seen_values_cum,
+        "reverse_map_fused": reverse_map_fused,
         "evaluation_metrics": evaluation_metrics,
     }
 
@@ -953,6 +985,38 @@ def oracle_sql() -> dict[str, str]:
                    '(' || CAST(quantile_cont(lat, 0.5) AS VARCHAR) || ', '
                        || CAST(quantile_cont(lon, 0.5) AS VARCHAR) || ')' AS value_str
             FROM ev GROUP BY entity
+        """,
+        "reverse_map_fused": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med
+                      FROM claims GROUP BY entity, attr),
+            cands AS (SELECT DISTINCT entity, attr, v FROM claims),
+            truth AS (
+              SELECT entity, attr, v FROM (
+                SELECT c.entity, c.attr, c.v,
+                       ROW_NUMBER() OVER (PARTITION BY c.entity, c.attr
+                                          ORDER BY ABS(c.v - s.med) ASC, c.v ASC) AS rn
+                FROM cands c JOIN stats s ON c.entity = s.entity AND c.attr = s.attr
+              ) WHERE rn = 1),
+            seed AS (
+              SELECT 'e' || CAST(user_id AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(ROUND(value, -1) AS VARCHAR) AS value_str,
+                     'ev' || CAST(event_id AS VARCHAR) AS seed_value,
+                     event_id
+              FROM events),
+            first_seed AS (
+              SELECT entity, attr, value_str, seed_value FROM (
+                SELECT entity, attr, value_str, seed_value,
+                       ROW_NUMBER() OVER (PARTITION BY entity, attr, value_str
+                                          ORDER BY event_id ASC) AS rn
+                FROM seed) WHERE rn = 1)
+            SELECT t.entity, t.attr, ROUND(t.v, 6) AS fused_value,
+                   COALESCE(fs.seed_value, CAST(t.v AS VARCHAR)) AS formatted_value
+            FROM truth t
+            LEFT JOIN first_seed fs
+              ON fs.entity = t.entity AND fs.attr = t.attr
+             AND fs.value_str = CAST(t.v AS VARCHAR)
         """,
         "evaluation_metrics": """
             WITH ev AS (
