@@ -208,12 +208,14 @@ def eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on document text: representative = min doc_id."""
+    """Exact dedup on document text via the engine operator (hash-first,
+    text-verified within colliding hash groups — the oracle is the plain
+    groupBy-text equivalent)."""
+    from trustfuse_spark.operators.dedup import exact_duplicates
+
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.groupBy("text")
-        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
-        .select("rep_doc_id", "n_copies")
+    return exact_duplicates(d, "doc_id", "text").select(
+        F.col("rep_id").alias("rep_doc_id"), "n_copies"
     )
 
 
@@ -552,10 +554,15 @@ def known_entities_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def seen_values_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: cumulative seen-values per (entity, attr) at bucket 5, array form."""
+    """W5: cumulative seen-values per (entity, attr) at bucket 5. The sorted
+    set is string-encoded ('|'-joined) so the harness can canonicalize it —
+    r2's array<string> column crashed the hash comparison."""
     from trustfuse_spark.operators.bucketize import cumulative_seen_values
 
-    return cumulative_seen_values(_bucketed_claims(spark, sf_dir), upto=5)
+    out = cumulative_seen_values(_bucketed_claims(spark, sf_dir), upto=5)
+    return out.select(
+        "entity", "attr", F.array_join("values_seen", "|").alias("values_seen")
+    )
 
 
 def reverse_map_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,9 +957,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
               FROM events),
             srcstats AS (
+              -- per-OBSERVATION counts (reference appends the source once per
+              -- claim, automatic_labeling.py:419-421/486-497)
               SELECT entity, attr, value_str,
-                     COUNT(DISTINCT source) AS n_src,
-                     COUNT(DISTINCT CASE WHEN source LIKE '192.%' THEN source END) AS n_ip
+                     COUNT(*) AS n_src,
+                     SUM(CASE WHEN source LIKE '192.%' THEN 1 ELSE 0 END) AS n_ip
               FROM ev GROUP BY entity, attr, value_str),
             flagged AS (
               SELECT *, CASE WHEN sec - LAG(sec) OVER w > 7200 THEN 1 ELSE 0 END AS brk
@@ -1103,7 +1112,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             fs AS (SELECT entity, attr, value_str, MIN(bucket_id) AS first_bucket
                    FROM cl GROUP BY entity, attr, value_str)
-            SELECT entity, attr, list_sort(list(value_str)) AS values_seen
+            SELECT entity, attr,
+                   array_to_string(list_sort(list(value_str)), '|') AS values_seen
             FROM fs WHERE first_bucket <= 5 GROUP BY entity, attr
         """,
         "gt_carry_forward": """

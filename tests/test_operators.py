@@ -269,6 +269,26 @@ def test_presence_ip_majority_veto(spark):
     assert out2["v1"] is True and out2["v2"] is True
 
 
+def test_presence_ip_veto_counts_observations(spark):
+    """The veto is per-OBSERVATION (reference builds sources[qid][prop][val]
+    as a per-claim list, automatic_labeling.py:419-421, and compares
+    counter_ip to its length, :486-497): ONE IP source claiming a value many
+    times outvotes several named sources claiming it once each — a
+    distinct-source count would get this wrong (ADVICE r2)."""
+    day = 86400
+    rows = []
+    # v1 observations: 10.0.0.1 claims at most days, alice+bob once each ->
+    # ip observations 11 of 13 (majority) but distinct sources 1 of 3.
+    for i, d in enumerate(range(0, 121, 10)):
+        src = {0: "alice", 10: "bob"}.get(d, "10.0.0.1")
+        rows.append(("A", "p", "v1", src, d * day))
+    df = spark.createDataFrame(
+        rows, ["entity", "attr", "value_str", "source", "sec"]
+    ).withColumn("ts", F.to_timestamp(F.from_unixtime(F.col("sec") + 1577836800)))
+    out = {r["value_str"]: r["accepted"] for r in presence_intervals(df).collect()}
+    assert out["v1"] is False  # per-observation IP majority -> vetoed
+
+
 def test_known_entities_and_seen_values(spark):
     """P6 (compute_known_entities, dataset.py:84-95) and W5 (cumulative
     seen-values, automatic_labeling.py:356-370) in first-seen form."""

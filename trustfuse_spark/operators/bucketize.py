@@ -227,11 +227,15 @@ def presence_intervals(
     486-510): per (entity, attr, value) merge observation timestamps into
     intervals closing on gaps > gamma, drop intervals spanning < beta, then
     accept values whose total presence / max presence over the attr >
-    accept_ratio AND that are not IP-majority-sourced (a value most of whose
-    distinct sources are IP/MAC-shaped is vetoed, automatic_labeling.py:
-    486-497 counter_ip > len(sources)/2). The veto applies when the input
-    carries a ``source`` column and ip_veto is True; inputs without source
-    lineage fall back to the pure ratio rule.
+    accept_ratio AND that are not IP-majority-sourced. The veto counts
+    OBSERVATIONS, not distinct sources: the reference appends the source
+    once per claim observation (automatic_labeling.py:419-421 builds
+    sources[qid][prop][val] as a per-claim list) and compares counter_ip to
+    that list's length (automatic_labeling.py:486-497, counter_ip >
+    len(sources)/2) — so one IP source claiming a value many times IS an
+    IP majority there, and here. The veto applies when the input carries a
+    ``source`` column and ip_veto is True; inputs without source lineage
+    fall back to the pure ratio rule.
 
     Pure gaps-and-islands windows — no UDF.
     """
@@ -262,10 +266,8 @@ def presence_intervals(
         from trustfuse_spark.functions.preprocess import is_ip_or_mac
 
         src_stats = events.groupBy(*keys).agg(
-            F.countDistinct("source").alias("__n_src"),
-            F.countDistinct(
-                F.when(is_ip_or_mac(F.col("source")), F.col("source"))
-            ).alias("__n_ip"),
+            F.count("source").alias("__n_src"),
+            F.sum(is_ip_or_mac(F.col("source")).cast("int")).alias("__n_ip"),
         )
         presence = presence.join(src_stats, keys)
         accepted = accepted & ~(F.col("__n_ip") * 2 > F.col("__n_src"))
