@@ -338,6 +338,17 @@ def truthfinder_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.weights.select("source", F.round("weight", 6).alias("tau"))
 
 
+def accu_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_accu (engine code), 2 full iterations from the pinned 0.8 init;
+    compare final per-source accuracies. Exercises the full iterated model:
+    per-(fact,source) dedup (smallest vkey), n-distinct vote scores
+    ln((n-1)a/(1-a)), pinned argmax, clamped accuracy update."""
+    from trustfuse_spark.operators.fusion.accu import fuse_accu
+
+    res = fuse_accu(_engine_claims(spark, sf_dir), max_itr=2)
+    return res.weights.select("source", F.round("weight", 6).alias("w"))
+
+
 def truthfinder_string_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TruthFinder string branch (Jaro implication) — engine code vs a
     DuckDB oracle using jaro_similarity (verified identical to the
@@ -651,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_engine": majority_engine,
         "crh_engine_weights": crh_engine_weights,
         "truthfinder_engine_weights": truthfinder_engine_weights,
+        "accu_engine_weights": accu_engine_weights,
         "truthfinder_string_weights": truthfinder_string_weights,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_features": text_features,
@@ -893,6 +905,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    ROUND(CASE WHEN tv >= 1.0 THEN LN(1e10) ELSE -LN(1.0 - tv) END, 6) AS tau
             FROM t
+        """,
+        "accu_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            ded AS (
+              SELECT entity, attr, source, vkey FROM (
+                SELECT entity, attr, source, CAST(v AS VARCHAR) AS vkey,
+                       ROW_NUMBER() OVER (PARTITION BY entity, attr, source
+                                          ORDER BY CAST(v AS VARCHAR) ASC) AS rn
+                FROM claims) WHERE rn = 1),
+            nv AS (SELECT entity, attr, COUNT(DISTINCT vkey) AS n_vals
+                   FROM ded GROUP BY entity, attr),
+            dn AS (SELECT d.entity, d.attr, d.source, d.vkey, nv.n_vals
+                   FROM ded d JOIN nv USING (entity, attr)),
+            s1 AS (SELECT entity, attr, vkey, n_vals,
+                          CASE WHEN n_vals = 1 THEN 1.0
+                               ELSE SUM(LN((n_vals - 1) * 0.8 / 0.2)) END AS score
+                   FROM dn GROUP BY entity, attr, vkey, n_vals),
+            t1 AS (SELECT entity, attr, vkey FROM (
+                     SELECT entity, attr, vkey,
+                            ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                               ORDER BY score DESC, vkey ASC) AS rn
+                     FROM s1) WHERE rn = 1),
+            a1 AS (SELECT d.source,
+                          AVG(CASE WHEN d.vkey = t1.vkey THEN 1.0 ELSE 0.0 END) AS a
+                   FROM ded d JOIN t1 USING (entity, attr) GROUP BY d.source),
+            a1c AS (SELECT source,
+                           CASE WHEN a = 1.0 THEN 0.99 WHEN a = 0.0 THEN 0.01
+                                ELSE a END AS acc
+                    FROM a1),
+            s2 AS (SELECT d.entity, d.attr, d.vkey, d.n_vals,
+                          CASE WHEN d.n_vals = 1 THEN 1.0
+                               ELSE SUM(LN((d.n_vals - 1) * ac.acc / (1 - ac.acc))) END AS score
+                   FROM dn d JOIN a1c ac USING (source)
+                   GROUP BY d.entity, d.attr, d.vkey, d.n_vals),
+            t2 AS (SELECT entity, attr, vkey FROM (
+                     SELECT entity, attr, vkey,
+                            ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                               ORDER BY score DESC, vkey ASC) AS rn
+                     FROM s2) WHERE rn = 1),
+            a2 AS (SELECT d.source,
+                          AVG(CASE WHEN d.vkey = t2.vkey THEN 1.0 ELSE 0.0 END) AS a
+                   FROM ded d JOIN t2 USING (entity, attr) GROUP BY d.source)
+            SELECT source,
+                   ROUND(CASE WHEN a = 1.0 THEN 0.99 WHEN a = 0.0 THEN 0.01
+                              ELSE a END, 6) AS w
+            FROM a2
         """,
         "truthfinder_string_weights": f"""
             WITH claims AS (
