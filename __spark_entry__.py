@@ -463,15 +463,33 @@ def gt_carry_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_PAIRS_DIR = "/root/repo/.oracle_data/minhash_pairs_{base}"
+
+
 def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (rows-only check: DuckDB
-    lacks xxhash64; exact-Jaccard parity is gated by ngram_jaccard_pairs)."""
+    """MinHash-LSH near-dup pairs over documents, VALUE-gated via a pair
+    exchange: DuckDB lacks xxhash64 so it cannot re-run the LSH banding, but
+    it CAN independently recompute exact 3-gram Jaccard over the raw text of
+    the emitted pairs. The query persists its (id_a, id_b) list to
+    .oracle_data/ (deterministic content — hash seeds are fixed) and returns
+    the read-back rows; the oracle reads ONLY the ids from that parquet,
+    recomputes each pair's Jaccard from the documents view from scratch, and
+    re-applies the >= 0.8 filter — so a wrong Jaccard value or a
+    sub-threshold false positive breaks the hash/row gate. (What this cannot
+    catch is an LSH recall miss — inherent to gating a probabilistic
+    blocker; recall is pytest-gated against brute force.) The sf0.01 pair
+    file is committed so the oracle also works if it runs first."""
+    import os
+
     from trustfuse_spark.operators.dedup import near_duplicates_minhash
 
     d = _t(spark, sf_dir, "documents")
-    return near_duplicates_minhash(d, "doc_id", "text", threshold=0.8).select(
+    pairs = near_duplicates_minhash(d, "doc_id", "text", threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+    path = _MINHASH_PAIRS_DIR.format(base=os.path.basename(sf_dir.rstrip("/")))
+    pairs.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,11 +513,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full KG pipeline (docs synth -> extract -> majority fuse -> triples)
-    with a closed-form SQL oracle on the same deterministic generator
-    (rows-only would undersell it: majority over the planted claims is
-    SQL-reconstructible, but the generator hashes aren't in DuckDB, so this
-    stays a rows-only structural check)."""
+    """Full KG pipeline (docs synth -> extract -> majority fuse -> triples),
+    VALUE-gated: the generator's _mix is plain modular arithmetic (datagen.py
+    M31 chain, no engine hash functions), so the DuckDB oracle re-derives the
+    planted claims closed-form and reconstructs majority fusion — mode with
+    ascending tie for categorical attrs, interpolated median snapped to the
+    nearest claimed value for quantity/time — entirely independently of the
+    Spark path (extraction, normalization, fusion, triple rendering all
+    covered by the value hash)."""
     from trustfuse_spark.datagen import gen_docs
     from trustfuse_spark.plans.pipeline import run_pipeline
 
@@ -1147,6 +1168,118 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN p + r > 0 THEN 2*p*r/(p+r) ELSE 0.0 END, 6) AS f1,
                    ROUND(tp * 1.0 / gt_n, 6) AS c_rate
             FROM pr
+        """,
+        # Closed-form re-derivation of gen_docs(100, 10, 4) -> extract ->
+        # majority -> triples. The _mix chain is ((h + c + 1) * 2654435761)
+        # % (2^31 - 1) folded left over the argument list (datagen.py:34-48);
+        # all intermediates stay < 2^63. Value renderings: quantity variants
+        # ('N m' / '100N cm' / '+Nmetre') all normalize to N; string variants
+        # trim to 'name_V'; time 'H:MM' -> minutes. Numeric truth objects are
+        # format_number(x, 6) = thousands-grouped integer + '.000000' (all
+        # planted numerics are integral).
+        "docs_pipeline_triples": """
+            WITH base AS (
+              SELECT e.e, s.s, a.a
+              FROM generate_series(0, 99) AS e(e)
+              CROSS JOIN generate_series(0, 9) AS s(s)
+              CROSS JOIN generate_series(0, 5) AS a(a)),
+            m1 AS (
+              SELECT *, ((1469598103 + e + 1) * 2654435761) % 2147483647 AS h_e
+              FROM base),
+            m2 AS (
+              SELECT *,
+                     ((h_e + s + 1) * 2654435761) % 2147483647 AS h_es,
+                     ((h_e + a + 1) * 2654435761) % 2147483647 AS h_ea
+              FROM m1),
+            m3 AS (
+              SELECT *, ((h_es + a + 1) * 2654435761) % 2147483647 AS h_esa
+              FROM m2),
+            flags AS (
+              SELECT *,
+                     (((h_esa + 6) * 2654435761) % 2147483647) % 100 >= 30 AS present,
+                     (((h_esa + 8) * 2654435761) % 2147483647) % 100
+                       < (95 - (s % 9) * 5) AS is_true,
+                     (((h_esa + 12) * 2654435761) % 2147483647) % 3 AS wrong_j,
+                     (((h_ea + 18) * 2654435761) % 2147483647) % 1000 AS tv
+              FROM m3),
+            claims AS (
+              SELECT a % 4 AS bucket_id,
+                     'Q' || CAST(1000 + e AS VARCHAR) AS entity,
+                     ['P_ent0','P_ent1','P_ent2','P_qty','P_str','P_time'][a + 1] AS attr,
+                     a,
+                     CASE WHEN is_true THEN tv
+                          ELSE (tv + 129 + wrong_j * 173) % 1000 END AS vidx
+              FROM flags WHERE present),
+            typed AS (
+              SELECT bucket_id, entity, attr, a,
+                     CASE WHEN a < 3 THEN 'Q' || CAST(50000 + vidx AS VARCHAR)
+                          WHEN a = 4 THEN 'name_' || CAST(vidx AS VARCHAR)
+                          END AS value_str,
+                     CASE WHEN a = 3 THEN CAST(vidx % 900 + 100 AS DOUBLE)
+                          WHEN a = 5 THEN CAST((vidx % 24) * 60 + vidx % 60 AS DOUBLE)
+                          END AS value_num
+              FROM claims),
+            catcount AS (
+              SELECT bucket_id, entity, attr, value_str, COUNT(*) AS n
+              FROM typed WHERE a < 3 OR a = 4
+              GROUP BY bucket_id, entity, attr, value_str),
+            cat_truth AS (
+              SELECT bucket_id, entity, attr, value_str FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_id, entity, attr
+                                             ORDER BY n DESC, value_str ASC) AS rn
+                FROM catcount) WHERE rn = 1),
+            numc AS (SELECT bucket_id, entity, attr, value_num
+                     FROM typed WHERE a = 3 OR a = 5),
+            med AS (SELECT bucket_id, entity, attr,
+                           quantile_cont(value_num, 0.5) AS med
+                    FROM numc GROUP BY bucket_id, entity, attr),
+            numcand AS (SELECT DISTINCT bucket_id, entity, attr, value_num FROM numc),
+            num_truth AS (
+              SELECT bucket_id, entity, attr, value_num FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                         PARTITION BY c.bucket_id, c.entity, c.attr
+                         ORDER BY ABS(c.value_num - m.med) ASC, c.value_num ASC) AS rn
+                FROM numcand c
+                JOIN med m ON m.bucket_id = c.bucket_id
+                          AND m.entity = c.entity AND m.attr = c.attr)
+              WHERE rn = 1)
+            SELECT entity AS subj, attr AS pred, value_str AS obj, bucket_id
+            FROM cat_truth
+            UNION ALL
+            SELECT entity AS subj, attr AS pred,
+                   format('{:,}', CAST(value_num AS BIGINT)) || '.000000' AS obj,
+                   bucket_id
+            FROM num_truth
+        """,
+        # Recompute exact 3-gram Jaccard from raw text for the pairs the LSH
+        # emitted (ids read from the query's deterministic pair exchange; the
+        # jaccard VALUES come entirely from this independent recomputation).
+        "minhash_neardup_docs": """
+            WITH pair_ids AS (
+              SELECT id_a, id_b
+              FROM read_parquet('/root/repo/.oracle_data/minhash_pairs_sf0.01/*.parquet')),
+            ids AS (SELECT DISTINCT id_a AS id FROM pair_ids
+                    UNION SELECT DISTINCT id_b FROM pair_ids),
+            sh AS (
+              SELECT DISTINCT d.doc_id AS id, substr(lower(d.text), i, 3) AS shingle
+              FROM documents d
+              JOIN ids ON ids.id = d.doc_id,
+              UNNEST(generate_series(1, GREATEST(length(d.text) - 2, 1))) AS t(i)
+              WHERE length(substr(lower(d.text), i, 3)) > 0),
+            sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+            inter AS (
+              SELECT p.id_a, p.id_b, COUNT(*) AS inter
+              FROM pair_ids p
+              JOIN sh a ON a.id = p.id_a
+              JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+              GROUP BY p.id_a, p.id_b)
+            SELECT p.id_a, p.id_b,
+                   ROUND(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6) AS jaccard
+            FROM pair_ids p
+            JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.id = p.id_a
+            JOIN sizes sb ON sb.id = p.id_b
+            WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.8
         """,
         "known_entities_cum": """
             WITH cl AS (
