@@ -493,7 +493,25 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: hash function engine-specific)."""
+    """SimHash VALUE gate: per-doc 31-bit SimHash with the engine-portable
+    polynomial token hash over ASCII-normalized text (doc_id < 80) — DuckDB
+    recomputes the identical tokenization, per-token polynomial hash,
+    per-bit vote sums, and sign reassembly, so the SimHash math itself is
+    hash-gated (the xxhash64 + 16-bit-chunk blocking scale path runs in
+    simhash_neardup_full and pytest)."""
+    from trustfuse_spark.operators.dedup import polynomial_token_hash, simhash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80).select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    sh = simhash(d, "doc_id", "text", bits=31, token_hash=polynomial_token_hash)
+    return sh.select(F.col("id").alias("doc_id"), "simhash")
+
+
+def simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus SimHash near-dup pairs via 16-bit-chunk pigeonhole
+    blocking (rows-only: xxhash64 is engine-specific; the SimHash math is
+    value-gated by simhash_docs, the blocking by pytest)."""
     from trustfuse_spark.operators.dedup import simhash_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -691,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gt_carry_forward": gt_carry_forward_q,
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_docs": simhash_docs,
+        "simhash_neardup_full": simhash_neardup_full,
         "ivf_ann_topk": ivf_ann_topk,
         "docs_pipeline_triples": docs_pipeline_triples,
         "coordinate_fusion": coordinate_fusion,
@@ -1168,6 +1187,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN p + r > 0 THEN 2*p*r/(p+r) ELSE 0.0 END, 6) AS f1,
                    ROUND(tp * 1.0 / gt_n, 6) AS c_rate
             FROM pr
+        """,
+        # Independent SimHash recomputation: same tokenization, polynomial
+        # char hash (fold (h*31+code) % (2^31-1), seed 7), per-bit +/-1 vote
+        # sums, sign bits reassembled — plain arithmetic on both engines.
+        "simhash_docs": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+              FROM documents WHERE doc_id < 80),
+            tok AS (
+              SELECT doc_id, u.tokv
+              FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x != '')) AS u(tokv)),
+            h AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(7 AS BIGINT), list_transform(
+                         generate_series(1, length(tokv)),
+                         i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS th
+              FROM tok),
+            bits AS (
+              SELECT doc_id, b.b,
+                     SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN generate_series(0, 30) AS b(b)
+              GROUP BY doc_id, b.b)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
         """,
         # Closed-form re-derivation of gen_docs(100, 10, 4) -> extract ->
         # majority -> triples. The _mix chain is ((h + c + 1) * 2654435761)

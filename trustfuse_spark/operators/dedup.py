@@ -276,14 +276,42 @@ def exact_duplicates(
     return singles.unionByName(verified)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    token-hash bits. Pure expressions (explode + bit ops + agg)."""
+_POLY_M31 = 2147483647
+
+
+def polynomial_token_hash(tok) -> "F.Column":
+    """31-bit polynomial rolling hash over a token's characters:
+    fold h -> (h*31 + codepoint) % (2^31 - 1), seed 7.
+
+    Engine-portable (plain arithmetic — DuckDB can replicate it with
+    list_reduce, which the simhash_docs driver gate exploits to value-check
+    the SimHash math end to end). Interpreted-HOF cost: use only on bounded
+    gate/test inputs; the xxhash64 default is the corpus-scale path."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)), lambda i: F.ascii(F.substring(tok, i, 1))
+    )
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c.cast("long")) % F.lit(_POLY_M31),
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, token_hash=None
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign of the sum of
+    token-hash bits. Pure expressions (explode + bit ops + agg).
+
+    token_hash: Column -> Column hash of one token; default xxhash64 (the
+    64-bit scale path). Pass polynomial_token_hash with bits=31 for the
+    engine-portable variant the DuckDB oracle can recompute."""
     toks = _fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    hash_fn = token_hash if token_hash is not None else (lambda c: F.xxhash64(c))
+    h = toks.withColumn("h", hash_fn(F.col("tok")))
     bit_sums = h.groupBy("id").agg(
         *[
             F.sum(
