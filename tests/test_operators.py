@@ -50,6 +50,49 @@ def test_sessionize_gap_rule(spark):
     assert out[("B", "s2", "2020-01-02 00:00:00")] == 0
 
 
+def test_sessionize_presplit_matches_single_window(spark):
+    """The delta-boundary pre-split (hot-entity skew relief) must assign
+    byte-identical bucket ids to the single-window path — planted hot entity
+    with 3 delta-gapped eras, alpha re-claims inside eras, a (source, attr)
+    pair that spans eras (exercising the pair-first-segment close rule),
+    equal-timestamp claims, plus normal entities."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2005, 1, 1)
+    rows = []
+    # hot entity: 3 eras separated by > delta (2y); inside each era, claims
+    # every 3 days for 60 days from 4 sources, with s0 re-claiming attr p at
+    # day 0 and day 20 (> alpha) and day 25 (< alpha from day 20)
+    for era in range(3):
+        era0 = t0 + timedelta(days=era * 900)  # 900d > 2y delta
+        for d in range(0, 60, 3):
+            src = f"s{d % 4}"
+            rows.append((src, "hot", f"a{d % 5}", era0 + timedelta(days=d)))
+        rows.append(("s0", "hot", "p", era0))
+        rows.append(("s0", "hot", "p", era0 + timedelta(days=20)))
+        rows.append(("s0", "hot", "p", era0 + timedelta(days=25)))
+        # pair (sx, cross) appears once per era -> its era-2/3 claims must
+        # close via the pair-first-segment rule, not a within-segment lag
+        rows.append(("sx", "hot", "cross", era0 + timedelta(days=1)))
+    # equal timestamps from two sources
+    rows.append(("s1", "hot", "tie", t0 + timedelta(days=2)))
+    rows.append(("s2", "hot", "tie", t0 + timedelta(days=2)))
+    # normal entities, no delta gaps
+    for e in range(5):
+        for d in range(0, 30, 7):
+            rows.append((f"s{d % 3}", f"e{e}", "q", t0 + timedelta(days=d)))
+    df = spark.createDataFrame(rows, ["source", "entity", "attr", "ts"])
+
+    def key(r):
+        return (r["entity"], r["source"], r["attr"], str(r["ts"]))
+
+    plain = {key(r): r["bucket_id"] for r in sessionize(df).collect()}
+    split = {key(r): r["bucket_id"] for r in sessionize(df, presplit=True).collect()}
+    assert split == plain
+    # sanity: the hot entity really produced multiple delta-era buckets
+    assert max(b for (e, _, _, _), b in plain.items() if e == "hot") >= 2
+
+
 def test_upsert_and_cumulative(spark):
     rows = [
         (0, "s1", "A", "p", "v1", "2020-01-01 00:00:00"),

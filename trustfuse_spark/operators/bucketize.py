@@ -37,21 +37,28 @@ def sessionize(
     alpha_s: int = ALPHA_S,
     delta_s: int = DELTA_S,
     ts_col: str = "ts",
+    presplit: bool = False,
 ) -> DataFrame:
     """Assign bucket_id per entity from claim timestamps.
 
     Input: long claims with (source, entity, attr, ts). Output adds
     bucket_id (0-based, per entity, chronological).
 
-    Skew note: the running-sum windows are per-entity and order-dependent,
-    so a hot entity serializes into one task — inherent to session
-    semantics (salting would break the claim order). At 100 TB, cap the
-    damage upstream: split pathological entities by a coarse time range
-    first (a claim stream gapping > delta forms independent sessions, so
-    range-splitting at delta boundaries is exact), or route the few
-    mega-entities through streaming/sessions.py where the state store
-    bounds memory per key.
+    Skew: the running-sum windows are per-entity and order-dependent, so a
+    hot entity serializes into one task (salting would break the claim
+    order). presplit=True applies the delta-boundary range pre-split —
+    EXACT by the session-close rule, since a gap > delta always closes a
+    bucket: entities are cut into independent time segments at those gaps
+    (detected at delta-chunk granularity with one small per-entity chunk
+    window, never a per-claim entity-wide sort), sessionized per
+    (entity, segment) in parallel, and the per-segment bucket counts are
+    offset back to the entity-wide numbering. A hot entity with NO
+    delta-gaps still serializes — that residue is inherent to the
+    semantics; route it through streaming/sessions.py where the state
+    store bounds per-key memory.
     """
+    if presplit:
+        return _sessionize_presplit(claims, alpha_s, delta_s, ts_col)
     ts = F.unix_timestamp(F.col(ts_col))
     w_ent = Window.partitionBy("entity").orderBy(ts_col, "source", "attr")
     w_spa = Window.partitionBy("entity", "source", "attr").orderBy(ts_col)
@@ -73,6 +80,95 @@ def sessionize(
         .cast("int")
     )
     return flagged.withColumn("bucket_id", bucket).drop("__close")
+
+
+def _sessionize_presplit(
+    claims: DataFrame, alpha_s: int, delta_s: int, ts_col: str
+) -> DataFrame:
+    """Delta-boundary pre-split sessionization — provably identical bucket
+    assignment to the single-window path (pytest-gated on a planted hot
+    entity):
+
+    * two consecutive claims > delta apart land in different delta-width
+      time chunks whose inter-chunk gap equals the claim gap, so segment
+      boundaries detected on the per-(entity, chunk) min/max table (tiny:
+      <= time-range/delta rows per entity) are EXACTLY the delta-gap
+      closes;
+    * within a segment no delta gap exists, so only alpha closes remain:
+      the (entity, source, attr) lag window is re-partitioned by segment,
+      and a pair's first claim in a LATER segment closes by construction
+      (its gap to the pair's previous claim spans a delta boundary,
+      delta >> alpha) — recovered via the pair's first segment;
+    * per-segment running sums are offset by the cumulative bucket count of
+      the entity's earlier segments (a window over the per-segment count
+      table, again tiny).
+    """
+    ts = F.unix_timestamp(F.col(ts_col))
+    c = claims.withColumn("__ts", ts).withColumn(
+        "__chunk", F.floor(F.col("__ts") / delta_s)
+    )
+    chunk_stats = c.groupBy("entity", "__chunk").agg(
+        F.min("__ts").alias("__cmin"), F.max("__ts").alias("__cmax")
+    )
+    w_chunks = Window.partitionBy("entity").orderBy("__chunk")
+    seg_break = F.when(
+        F.col("__cmin") - F.lag("__cmax").over(w_chunks) > delta_s, 1
+    ).otherwise(0)
+    segments = chunk_stats.select(
+        "entity",
+        "__chunk",
+        F.sum(seg_break)
+        .over(w_chunks.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__segment"),
+    )
+    c = c.join(segments, ["entity", "__chunk"])
+    pair_first_seg = c.groupBy("entity", "source", "attr").agg(
+        F.min("__segment").alias("__pair_min_seg")
+    )
+    c = c.join(pair_first_seg, ["entity", "source", "attr"])
+
+    w_ent = Window.partitionBy("entity", "__segment").orderBy(ts_col, "source", "attr")
+    w_spa = Window.partitionBy("entity", "__segment", "source", "attr").orderBy(ts_col)
+    ent_gap = F.col("__ts") - F.lag("__ts").over(w_ent)
+    spa_gap = F.col("__ts") - F.lag("__ts").over(w_spa)
+    close = (
+        # segment-first claim: its delta-close is absorbed entirely by the
+        # segment offset (offset = cumulative bucket COUNT of earlier
+        # segments already includes the +1 the transition contributes)
+        F.when(ent_gap.isNull(), 0)
+        .when(ent_gap > delta_s, 1)  # cannot fire within a segment; kept for parity
+        .when(spa_gap > alpha_s, 1)
+        # pair seen in an earlier segment: its gap spans a delta boundary
+        .when(spa_gap.isNull() & (F.col("__segment") > F.col("__pair_min_seg")), 1)
+        .otherwise(0)
+    )
+    flagged = c.withColumn("__close", close)
+    local = (
+        F.sum("__close")
+        .over(w_ent.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+    )
+    flagged = flagged.withColumn("__local", local)
+    seg_counts = flagged.groupBy("entity", "__segment").agg(
+        (F.max("__local") + 1).alias("__n_buckets")
+    )
+    w_segs = Window.partitionBy("entity").orderBy("__segment")
+    offsets = seg_counts.select(
+        "entity",
+        "__segment",
+        F.coalesce(
+            F.sum("__n_buckets").over(
+                w_segs.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    out = flagged.join(offsets, ["entity", "__segment"]).withColumn(
+        "bucket_id", (F.col("__offset") + F.col("__local")).cast("int")
+    )
+    return out.drop(
+        "__ts", "__chunk", "__segment", "__pair_min_seg", "__close", "__local", "__offset"
+    )
 
 
 def upsert_in_bucket(claims: DataFrame, ts_col: str = "ts") -> DataFrame:
