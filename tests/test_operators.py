@@ -281,8 +281,43 @@ def test_multimodal_plumbing(spark):
         assert again[r["media_ref"]] == r["feature"]
     plan = frame_sample_plan(media, every_ms=10000)
     assert plan.count() >= 0  # only videos sampled
+    # synthetic payloads carry no decodable magic -> the real path refuses
     with pytest.raises(Exception):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_decode_ppm_bmp(spark):
+    """fake=False really decodes planted PPM (P6) and 24-bit BMP bytes:
+    width/height/channel means come from the pixels, not a stub."""
+    import struct
+
+    # 2x2 PPM: red, green / blue, white -> each channel mean = 0.5
+    ppm = b"P6\n# cmt\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    # 2x1 bottom-up BMP, 24bpp: left red, right blue (stored BGR + row pad)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 8, 0, 0, 54)
+        + dib
+        + bytes([0, 0, 255, 255, 0, 0, 0, 0])
+    )
+    rows = [
+        ("p1", "image", bytearray(ppm), 2, 2, 0),
+        ("b1", "image", bytearray(bmp), 2, 1, 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_ref string, media_type string, payload binary, "
+              "width int, height int, duration_ms int"
+    )
+    out = {r["media_ref"]: r for r in extract_features(media, dim=8, fake=False).collect()}
+    p = out["p1"]["feature"]
+    assert p[0] == 2.0 and p[1] == 2.0 and p[2] == 3.0
+    assert abs(p[3] - 0.5) < 1e-6 and abs(p[4] - 0.5) < 1e-6 and abs(p[5] - 0.5) < 1e-6
+    b = out["b1"]["feature"]
+    assert b[0] == 2.0 and b[1] == 1.0
+    assert abs(b[3] - 0.5) < 1e-6 and abs(b[4] - 0.0) < 1e-6 and abs(b[5] - 0.5) < 1e-6
+    assert out["p1"]["n_frames"] == 1 and out["b1"]["n_frames"] == 1
 
 
 def test_presence_ip_majority_veto(spark):

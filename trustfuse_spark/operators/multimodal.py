@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The image/audio libraries are not available in this container, so the DECODE
-step is stubbed (deterministic fake features behind `fake=True`, otherwise
-NotImplementedError) — but the Spark-side plumbing is real and tested:
-schemas, batch iteration, partition-size control, and the pattern of
-carrying media alongside text spans (the reference routes media properties
-out of fusion, generate_buckets.py:81-133; here they become first-class
-columns instead of being dropped).
+The decode step has two real paths and one stub:
+  * fake=True — deterministic pseudo-features from the payload bytes
+    (plumbing tests / synthetic corpora);
+  * fake=False — a dependency-free REAL image decode for PPM (P6) and
+    uncompressed 24-bit BMP payloads (header parse + numpy pixel stats;
+    no image library needed), so the production path is exercised end to
+    end on genuine bytes;
+  * anything else (JPEG/PNG/audio/video codecs) raises NotImplementedError
+    — those decoders need libraries absent from this environment.
+The Spark-side plumbing — schemas, Arrow batch iteration, partition-size
+control, carrying media alongside text spans — is identical on every path
+(the reference routes media properties out of fusion,
+generate_buckets.py:81-133; here they become first-class columns instead
+of being dropped).
 """
 
 from __future__ import annotations
@@ -58,6 +65,78 @@ def media_table_from_refs(docs_media: DataFrame) -> DataFrame:
     )
 
 
+def decode_ppm_p6(buf: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse a binary PPM (P6) payload -> (width, height, HxWx3 uint8 RGB),
+    or None when the magic doesn't match. Handles '#' header comments and
+    maxval 255; pure bytes + numpy."""
+    if not buf.startswith(b"P6"):
+        return None
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(buf):
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        tokens.append(buf[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 not supported")
+    i += 1  # exactly one whitespace byte separates the header from pixels
+    px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, px.reshape(h, w, 3)
+
+
+def decode_bmp_24(buf: bytes) -> tuple[int, int, "np.ndarray"] | None:
+    """Parse an uncompressed 24-bit BMP payload -> (width, height, HxWx3
+    uint8 RGB), or None when the magic doesn't match. Handles 4-byte row
+    padding, bottom-up and top-down rows, BGR->RGB."""
+    if buf[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
+    top_down = h < 0
+    height = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(buf, dtype=np.uint8, count=row_size * height, offset=data_off)
+    px = arr.reshape(height, row_size)[:, : w * 3].reshape(height, w, 3)[..., ::-1]
+    if not top_down:
+        px = px[::-1]
+    return w, height, px
+
+
+def _image_feature(buf: bytes, dim: int) -> tuple[list[float], int, int, int] | None:
+    """Real decode -> fixed-dim feature [w, h, channels, mean RGB/255,
+    std gray/255, ...zero-pad]; None when no known magic matches."""
+    decoded = decode_ppm_p6(buf) or decode_bmp_24(buf)
+    if decoded is None:
+        return None
+    w, h, px = decoded
+    pxf = px.astype(np.float32) / 255.0
+    feat = [
+        float(w),
+        float(h),
+        3.0,
+        float(pxf[..., 0].mean()),
+        float(pxf[..., 1].mean()),
+        float(pxf[..., 2].mean()),
+        float(pxf.mean(axis=2).std()),
+    ]
+    feat = (feat + [0.0] * dim)[:dim]
+    return feat, w, h, 1
+
+
 def extract_features(
     media: DataFrame, dim: int = 16, batch_hint: int = 1024, fake: bool = True
 ) -> DataFrame:
@@ -65,23 +144,33 @@ def extract_features(
 
     fake=True: deterministic pseudo-features from the payload bytes (the
     Spark contract — schema, Arrow batching, per-batch vectorization — is
-    identical to a real decoder). fake=False raises NotImplementedError
-    where a real image/audio decode would go (libs absent in this env).
+    identical to the real decoder). fake=False: REAL decode for PPM (P6)
+    and uncompressed 24-bit BMP image payloads (dependency-free, tested on
+    planted bytes); payloads in any other format raise NotImplementedError
+    (their codecs need libraries absent from this environment).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this environment; use fake=True for plumbing tests"
-                )
             feats, frames = [], []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                rng = np.resize(arr.astype(np.float32), dim)
-                feats.append((rng / 255.0).tolist())
-                frames.append(int(arr[:4].sum() % 32) + 1)
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                buf = bytes(payload)
+                if fake:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    rng = np.resize(arr.astype(np.float32), dim)
+                    feats.append((rng / 255.0).tolist())
+                    frames.append(int(arr[:4].sum() % 32) + 1)
+                    continue
+                decoded = _image_feature(buf, dim) if mtype == "image" else None
+                if decoded is None:
+                    raise NotImplementedError(
+                        f"no dependency-free decoder for media_type={mtype!r} "
+                        "payload (PPM P6 / 24-bit BMP images are supported; "
+                        "other codecs need libs absent from this environment)"
+                    )
+                feat, _w, _h, nf = decoded
+                feats.append(feat)
+                frames.append(nf)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
