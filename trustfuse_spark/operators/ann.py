@@ -182,6 +182,7 @@ def ivf_topk(
     ncells: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    max_broadcast_queries: int = 1_000_000,
 ) -> DataFrame:
     """IVF search: assign candidates to cells once (projection against the
     centroid literal — no join), probe the nprobe nearest cells per query
@@ -199,10 +200,16 @@ def ivf_topk(
             "cell", F.explode(_probe_cells_expr(cent_rows, "qv", nprobe))
         )
     )
-    # Broadcast the probed queries (bounded by contract): a hash shuffle on
-    # `cell` would cap the cosine stage's parallelism at ncells partitions;
-    # the broadcast join keeps the candidate side's partitioning untouched.
-    sims = cand_cells.join(F.broadcast(probed), "cell").select(
+    # Broadcast the probed queries when they verifiably fit: a hash shuffle
+    # on `cell` caps the cosine stage's parallelism at ncells partitions, so
+    # broadcast keeps the candidate side's partitioning untouched — but the
+    # probed set is data-dependent (|queries| x nprobe rows), so the hint is
+    # GUARDED by an actual count instead of asserted by contract (ADVICE
+    # r2): oversized query sets fall back to the shuffle join and let AQE
+    # pick the strategy from runtime sizes.
+    if queries.limit(max_broadcast_queries + 1).count() * nprobe <= max_broadcast_queries:
+        probed = F.broadcast(probed)
+    sims = cand_cells.join(probed, "cell").select(
         "qid",
         "cid",
         (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),

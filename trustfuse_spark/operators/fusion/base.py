@@ -97,9 +97,27 @@ class CheckpointRotator:
         self._gens: list[set[int]] = []
 
     def rotate(self, df: DataFrame) -> DataFrame:
-        before = persistent_rdd_ids(self._spark)
+        """Checkpoint ``df`` and free generations older than ``keep``.
+
+        CONTRACT: every DataFrame a caller still intends to evaluate must
+        derive from one of the newest ``keep`` rotated checkpoints —
+        localCheckpoint blocks cannot be recomputed, so an action on
+        something holding an older generation fails with missing blocks.
+        Generations are attributed by the checkpointed plan's OWN RDD id
+        (the LogicalRDD produced by localCheckpoint), never a global
+        before/after diff of the block manager — so persistence that
+        happens to register concurrently (a cache() inside the plan, an
+        interleaved rotator, a lazy checkpoint elsewhere) can never be
+        mis-attributed and freed by this rotator (ADVICE r2).
+        """
         out = checkpoint(df)
-        self._gens.append(persistent_rdd_ids(self._spark) - before)
+        try:
+            # the exact RDD localCheckpoint persisted: the LogicalRDD the
+            # returned Dataset wraps
+            gen = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+        except Exception:  # plan shape changed across Spark versions
+            gen = set()
+        self._gens.append(gen)
         while len(self._gens) > self._keep:
             release_rdds(self._spark, self._gens.pop(0))
         return out
