@@ -150,10 +150,17 @@ def argmin_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFra
 def mode_per_fact(cat_claims: DataFrame) -> DataFrame:
     """Majority value per fact; tie -> lexicographically smallest value,
     matching pandas ``Series.mode().iloc[0]`` (reference crh.py:96-98, mode
-    returns sorted values)."""
+    returns sorted values).
+
+    min_by over struct(-count, value) instead of a row_number window: the
+    hash aggregate partially combines map-side and never sorts the fact
+    partition — one exchange less per call, and the iterated models call
+    this shape every iteration."""
     counts = cat_claims.groupBy(*FACT_KEYS, "value_str").agg(F.count("*").alias("__n"))
-    return argmax_per_fact(counts, F.col("__n"), "value_str").select(
-        *FACT_KEYS, F.col("value_str").alias("truth_str")
+    return counts.groupBy(*FACT_KEYS).agg(
+        F.min_by(
+            "value_str", F.struct((-F.col("__n")).alias("k1"), F.col("value_str"))
+        ).alias("truth_str")
     )
 
 
@@ -173,9 +180,15 @@ def snap_to_claimed(num_claims: DataFrame, truth_est: DataFrame) -> DataFrame:
     joined = num_claims.select(*FACT_KEYS, "value_num").join(
         truth_est, FACT_KEYS
     )
-    return argmin_per_fact(
-        joined, F.abs(F.col("value_num") - F.col("truth_num")), "value_num"
-    ).select(*FACT_KEYS, F.col("value_num").alias("truth_num"))
+    return joined.groupBy(*FACT_KEYS).agg(
+        F.min_by(
+            "value_num",
+            F.struct(
+                F.abs(F.col("value_num") - F.col("truth_num")).alias("k1"),
+                F.col("value_num"),
+            ),
+        ).alias("truth_num")
+    )
 
 
 def fact_stddev(num_claims: DataFrame, eps: float) -> DataFrame:

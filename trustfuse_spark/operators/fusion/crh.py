@@ -30,7 +30,7 @@ real cluster) so plans stay constant-size across iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trustfuse_spark.operators.fusion.base import (
@@ -49,31 +49,62 @@ from trustfuse_spark.operators.fusion.base import (
 )
 
 
+def _flag_claims(cat: DataFrame, num_with_denom: DataFrame) -> DataFrame:
+    """Static union of both claim branches with a type flag — built ONCE
+    before the loop so every iteration's loss computation is a single join
+    on (fact key, branch) instead of two joins + a union (one exchange less
+    per iteration; the per-iteration fixed latency is what caps scaling
+    efficiency at small per-core work, BENCH/BASELINE.md)."""
+    c = cat.select(
+        *FACT_KEYS,
+        "source",
+        F.lit(False).alias("__isnum"),
+        "value_str",
+        F.lit(None).cast("double").alias("value_num"),
+        F.lit(1.0).alias("denom"),
+    )
+    n = num_with_denom.select(
+        *FACT_KEYS,
+        "source",
+        F.lit(True).alias("__isnum"),
+        F.lit(None).cast("string").alias("value_str"),
+        "value_num",
+        "denom",
+    )
+    return c.unionByName(n)
+
+
+def _truth_union(cat_truth: DataFrame, num_truth: DataFrame) -> DataFrame:
+    return cat_truth.select(
+        *FACT_KEYS,
+        F.lit(False).alias("__isnum"),
+        "truth_str",
+        F.lit(None).cast("double").alias("truth_num"),
+    ).unionByName(
+        num_truth.select(
+            *FACT_KEYS,
+            F.lit(True).alias("__isnum"),
+            F.lit(None).cast("string").alias("truth_str"),
+            "truth_num",
+        )
+    )
+
+
 def _weight_step(
-    cat: DataFrame,
-    num_with_denom: DataFrame,
+    claims_flagged: DataFrame,
     cat_truth: DataFrame,
     num_truth: DataFrame,
     all_sources: DataFrame,
 ) -> DataFrame:
-    cat_loss = (
-        cat.join(cat_truth, FACT_KEYS)
-        .select(
-            *WEIGHT_KEYS,
-            (F.col("value_str") != F.col("truth_str")).cast("double").alias("loss"),
-        )
-    )
-    num_loss = (
-        num_with_denom.join(num_truth, FACT_KEYS)
-        .select(
-            *WEIGHT_KEYS,
-            (
-                (F.col("value_num") - F.col("truth_num")) ** 2 / F.col("denom")
-            ).alias("loss"),
-        )
-    )
+    loss_expr = F.when(
+        F.col("__isnum"),
+        (F.col("value_num") - F.col("truth_num")) ** 2 / F.col("denom"),
+    ).otherwise((F.col("value_str") != F.col("truth_str")).cast("double"))
     raw = (
-        cat_loss.unionByName(num_loss)
+        claims_flagged.join(
+            _truth_union(cat_truth, num_truth), [*FACT_KEYS, "__isnum"]
+        )
+        .select(*WEIGHT_KEYS, loss_expr.alias("loss"))
         .groupBy(*WEIGHT_KEYS)
         .agg(F.sum("loss").alias("raw"))
     )
@@ -113,8 +144,12 @@ def _truth_step(
     The round-1 implementation materialized the claims x candidates
     fan-out (up to |sources|^2 rows per fact) and its iterations scaled at
     ~0.5 efficiency 2->8 cores; this shape is one grouped agg + one
-    fact-key join per branch. Ties stay pinned ascending-value; mixed-type
-    facts score branches independently (one truth row per branch).
+    fact-key join per branch. Argmax/argmin run as min_by over
+    struct(score, value) — a hash aggregate with map-side partial combine —
+    instead of a row_number window, which re-sorted the fact partition
+    every iteration (round 3; same pinned ascending-value ties).
+    Mixed-type facts score branches independently (one truth row per
+    branch).
     """
     bw = F.broadcast(weights)
     cat_scored = (
@@ -122,13 +157,10 @@ def _truth_step(
         .groupBy(*FACT_KEYS, "value_str")
         .agg(F.sum("weight").alias("wsum"))
     )
-    wc = Window.partitionBy(*FACT_KEYS).orderBy(
-        F.col("wsum").desc(), F.col("value_str").asc()
-    )
-    cat_truth = (
-        cat_scored.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") == 1)
-        .select(*FACT_KEYS, F.col("value_str").alias("truth_str"))
+    cat_truth = cat_scored.groupBy(*FACT_KEYS).agg(
+        F.min_by(
+            "value_str", F.struct((-F.col("wsum")).alias("k1"), F.col("value_str"))
+        ).alias("truth_str")
     )
 
     numw = num_with_denom.join(bw, WEIGHT_KEYS).select(
@@ -140,19 +172,19 @@ def _truth_step(
         F.sum(F.col("weight") / F.col("denom")).alias("__C"),
     )
     cands = numw.select(*FACT_KEYS, "value_num").distinct()
-    scored = cands.join(aggs, FACT_KEYS).withColumn(
-        "__loss",
+    loss = (
         F.col("__A")
         - 2 * F.col("value_num") * F.col("__B")
-        + F.col("value_num") ** 2 * F.col("__C"),
-    )
-    wn = Window.partitionBy(*FACT_KEYS).orderBy(
-        F.col("__loss").asc(), F.col("value_num").asc()
+        + F.col("value_num") ** 2 * F.col("__C")
     )
     num_truth = (
-        scored.withColumn("__rn", F.row_number().over(wn))
-        .filter(F.col("__rn") == 1)
-        .select(*FACT_KEYS, F.col("value_num").alias("truth_num"))
+        cands.join(aggs, FACT_KEYS)
+        .groupBy(*FACT_KEYS)
+        .agg(
+            F.min_by(
+                "value_num", F.struct(loss.alias("k1"), F.col("value_num"))
+            ).alias("truth_num")
+        )
     )
     return cat_truth, num_truth
 
@@ -179,6 +211,7 @@ def fuse_crh(
     cat, num = split_claims(claims)
     num_with_denom = num.join(fact_stddev(num, eps), FACT_KEYS)
     all_sources = claims.select(*WEIGHT_KEYS).distinct()
+    claims_flagged = _flag_claims(cat, num_with_denom)
 
     cat_truth = mode_per_fact(cat)
     num_truth = median_per_fact(num)
@@ -187,7 +220,7 @@ def fuse_crh(
     weights = None
     for _ in range(max_itr):
         weights = rot.rotate(
-            _weight_step(cat, num_with_denom, cat_truth, num_truth, all_sources)
+            _weight_step(claims_flagged, cat_truth, num_truth, all_sources)
         )
         cat_truth, num_truth = _truth_step(cat, num_with_denom, weights)
 
