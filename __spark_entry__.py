@@ -518,6 +518,40 @@ def simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
 
 
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup VALUE gate (banded hyperplane LSH + cosine
+    verify). The corpus has no natural >= 0.9 pairs (max cosine 0.51), so
+    the query plants deterministic clones — vec_id < 50 duplicated at
+    +10000 with the first component shifted by 0.05 — a derivation the
+    oracle replicates in SQL. Pair exchange as in minhash_neardup_docs:
+    emitted (id_a, id_b) persist to .oracle_data/, the oracle recomputes
+    each pair's cosine from the embeddings view independently and
+    re-applies the threshold, value-gating the verify math and any false
+    positive (LSH recall stays pytest-gated)."""
+    import os
+
+    from trustfuse_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("embedding"))
+    clones = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 10000)
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(clones)
+    pairs = embedding_near_dups(allv, "vec_id", "embedding", threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cos_r")
+    )
+    path = "/root/repo/.oracle_data/embedding_pairs_{}".format(
+        os.path.basename(sf_dir.rstrip("/"))
+    )
+    pairs.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with nprobe=ncells (exhaustive probing -> exact): verifiable
     against the same brute-force SQL oracle as ann_topk."""
@@ -710,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_docs": simhash_docs,
         "simhash_neardup_full": simhash_neardup_full,
+        "embedding_neardup": embedding_neardup,
         "ivf_ann_topk": ivf_ann_topk,
         "docs_pipeline_triples": docs_pipeline_triples,
         "coordinate_fusion": coordinate_fusion,
@@ -867,6 +902,27 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
               FROM sims
             ) WHERE rn <= 5
+        """,
+        # Recompute cosine from the embeddings view (+ the same
+        # deterministic clone derivation) for the emitted pair ids.
+        "embedding_neardup": """
+            WITH pair_ids AS (
+              SELECT id_a, id_b
+              FROM read_parquet('/root/repo/.oracle_data/embedding_pairs_sf0.01/*.parquet')),
+            base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            clones AS (SELECT vec_id + 10000 AS vec_id,
+                              list_concat([v[1] + 0.05], v[2:]) AS v
+                       FROM base WHERE vec_id < 50),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+            cos AS (
+              SELECT p.id_a, p.id_b,
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM pair_ids p
+              JOIN allv a ON a.vec_id = p.id_a
+              JOIN allv b ON b.vec_id = p.id_b)
+            SELECT id_a, id_b, ROUND(c, 4) AS cos_r
+            FROM cos WHERE c >= 0.9
         """,
         "ivf_ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
