@@ -66,7 +66,7 @@ def run_level(cores: int, entities: int, partitions: int) -> dict:
         cmd + [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
         cwd=REPO,
     )
     if out.returncode != 0:
