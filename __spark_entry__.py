@@ -487,7 +487,10 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates_minhash(d, "doc_id", "text", threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
-    path = _MINHASH_PAIRS_DIR.format(base=os.path.basename(sf_dir.rstrip("/")))
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base != "sf0.01":  # pair exchange only at the correctness-gate scale
+        return pairs
+    path = _MINHASH_PAIRS_DIR.format(base=base)
     pairs.coalesce(1).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -545,9 +548,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dups(allv, "vec_id", "embedding", threshold=0.9).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cos_r")
     )
-    path = "/root/repo/.oracle_data/embedding_pairs_{}".format(
-        os.path.basename(sf_dir.rstrip("/"))
-    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base != "sf0.01":  # pair exchange only at the correctness-gate scale
+        return pairs
+    path = f"/root/repo/.oracle_data/embedding_pairs_{base}"
     pairs.coalesce(1).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
