@@ -320,6 +320,35 @@ def test_multimodal_real_decode_ppm_bmp(spark):
     assert out["p1"]["n_frames"] == 1 and out["b1"]["n_frames"] == 1
 
 
+def test_checkpoint_rotator_precise_attribution(spark):
+    """rotate() frees ONLY its own old checkpoint generations: an unrelated
+    cache materialized between rotations must survive (the r2 global
+    before/after diff would mis-attribute and free it), and a df derived
+    from the newest checkpoint must stay evaluable after keep-window
+    eviction."""
+    from pyspark.sql import functions as F
+
+    from trustfuse_spark.operators.fusion.base import (
+        CheckpointRotator,
+        persistent_rdd_ids,
+    )
+
+    rot = CheckpointRotator(spark, keep=1)
+    bystander = spark.range(500).withColumn("x", F.col("id") * 2).cache()
+    g1 = rot.rotate(spark.range(100).withColumn("w", F.lit(1.0)))
+    # bystander materializes BETWEEN rotations — a global diff would lump
+    # its blocks into g2's generation and free them when g2 is evicted
+    assert bystander.count() == 500
+    n_persisted_with_cache = len(persistent_rdd_ids(spark))
+    g2 = rot.rotate(g1.withColumn("w", F.col("w") + 1))  # evicts g1 (keep=1)
+    g3 = rot.rotate(g2.withColumn("w", F.col("w") + 1))  # evicts g2
+    assert g3.agg(F.sum("w")).collect()[0][0] == 300.0
+    # the bystander cache is still live and still evaluable
+    assert bystander.count() == 500
+    assert len(persistent_rdd_ids(spark)) <= n_persisted_with_cache + 2
+    bystander.unpersist()
+
+
 def test_presence_ip_majority_veto(spark):
     """automatic_labeling.py:486-497: a value whose distinct sources are
     IP-majority is rejected even above the presence ratio."""
