@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FACT_KEYS = ["bucket_id", "entity", "attr"]
@@ -123,27 +123,38 @@ class CheckpointRotator:
         return out
 
 
+def _pick_per_fact(scored: DataFrame, order_key: Column) -> DataFrame:
+    """One row per fact: the row minimizing ``order_key``, returned with
+    every non-key column intact (min_by over a payload struct). A hash
+    aggregate with map-side partial combine — no per-fact sort, unlike the
+    row_number-window formulation it replaced (iterated models call this
+    every iteration; the window's sort+exchange was the single largest
+    fixed cost per iteration)."""
+    payload = [c for c in scored.columns if c not in FACT_KEYS]
+    picked = scored.groupBy(*FACT_KEYS).agg(
+        F.min_by(F.struct(*payload), order_key).alias("__p")
+    )
+    return picked.select(
+        *FACT_KEYS, *[F.col(f"__p.{c}").alias(c) for c in payload]
+    )
+
+
 def argmax_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFrame:
     """One row per fact: max score, ties broken by ascending value.
 
     Reference ties (np.argmax over a set-ordered candidate list,
     crh.py:75/85) are unpinned; ascending-value is our pinned, shuffle-stable
-    choice (SURVEY §7.4 risk 1).
-    """
-    w = Window.partitionBy(*FACT_KEYS).orderBy(score.desc(), F.col(value_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    choice (SURVEY §7.4 risk 1). Scores must be non-null and non-NaN (all
+    fusion models guarantee this; NaN would order differently than the old
+    window form)."""
+    return _pick_per_fact(
+        scored, F.struct((-score).alias("k1"), F.col(value_col).alias("k2"))
     )
 
 
 def argmin_per_fact(scored: DataFrame, score: Column, value_col: str) -> DataFrame:
-    w = Window.partitionBy(*FACT_KEYS).orderBy(score.asc(), F.col(value_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    return _pick_per_fact(
+        scored, F.struct(score.alias("k1"), F.col(value_col).alias("k2"))
     )
 
 
