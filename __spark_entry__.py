@@ -684,6 +684,24 @@ def reverse_map_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 graph materialization: majority-fused triples -> typed edge list
+    -> per-node degree table (operators/graph.py; reference
+    visualization.py renders this surface, generate_subgraph.py:25-86
+    extracts it). Oracle re-derives fusion + degrees in SQL."""
+    from trustfuse_spark.operators.graph import node_degrees, triples_to_edges
+
+    fused = majority_fusion_sql(spark, sf_dir)
+    triples = fused.select(
+        F.col("entity").alias("subj"),
+        F.col("attr").alias("pred"),
+        F.col("fused_value").cast("string").alias("obj"),
+    )
+    return node_degrees(triples_to_edges(triples)).select(
+        "node", "out_deg", "in_deg", "degree"
+    )
+
+
 def evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL evaluation operator (operators/evaluation.evaluate) over
     planted truth/GT/claims derived from events; the oracle recomputes the
@@ -755,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "known_entities_cum": known_entities_cum,
         "seen_values_cum": seen_values_cum,
         "reverse_map_fused": reverse_map_fused,
+        "graph_degrees": graph_degrees,
         "evaluation_metrics": evaluation_metrics,
     }
 
@@ -1184,6 +1203,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN first_seed fs
               ON fs.entity = t.entity AND fs.attr = t.attr
              AND fs.value_str = CAST(t.v AS VARCHAR)
+        """,
+        "graph_degrees": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            counts AS (
+              SELECT entity, attr, v, COUNT(*) AS n FROM claims GROUP BY entity, attr, v
+            ),
+            fused AS (
+              SELECT entity, attr, v FROM (
+                SELECT entity, attr, v,
+                       ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                          ORDER BY n DESC, v ASC) AS rn
+                FROM counts) WHERE rn = 1),
+            edges AS (SELECT entity AS src, CAST(v AS VARCHAR) AS dst FROM fused),
+            outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+            ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+            SELECT COALESCE(o.node, i.node) AS node,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+            FROM outd o FULL JOIN ind i ON o.node = i.node
         """,
         "evaluation_metrics": """
             WITH ev AS (

@@ -320,6 +320,41 @@ def test_multimodal_real_decode_ppm_bmp(spark):
     assert out["p1"]["n_frames"] == 1 and out["b1"]["n_frames"] == 1
 
 
+def test_graph_edges_degrees_ego(spark):
+    """S10 graph surface: triples -> edges -> degrees; k-hop ego subgraph
+    matches a hand-computed BFS (reference generate_subgraph.py:25-86)."""
+    from trustfuse_spark.operators.graph import (
+        ego_subgraph,
+        node_degrees,
+        triples_to_edges,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("A", "p", "B"), ("A", "q", "C"), ("B", "p", "C"),
+            ("C", "p", "D"), ("D", "p", "A"), ("X", "p", "Y"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    edges = triples_to_edges(triples)
+    deg = {r["node"]: (r["out_deg"], r["in_deg"], r["degree"])
+           for r in node_degrees(edges).collect()}
+    assert deg["A"] == (2, 1, 3)
+    assert deg["C"] == (1, 2, 3)
+    assert deg["Y"] == (0, 1, 1)
+
+    ego1 = {(r["src"], r["dst"]) for r in ego_subgraph(edges, "A", hops=1).collect()}
+    assert ego1 == {("A", "B"), ("A", "C")}
+    ego2 = ego_subgraph(edges, "A", hops=2).collect()
+    assert {(r["src"], r["dst"]) for r in ego2} == {
+        ("A", "B"), ("A", "C"), ("B", "C"), ("C", "D")
+    }
+    hops = {(r["src"], r["dst"]): r["hop"] for r in ego2}
+    assert hops[("B", "C")] == 2 and hops[("A", "C")] == 1
+    # X->Y is disconnected from A's ego net at any hop count
+    assert not any(r["src"] == "X" for r in ego_subgraph(edges, "A", hops=4).collect())
+
+
 def test_checkpoint_rotator_precise_attribution(spark):
     """rotate() frees ONLY its own old checkpoint generations: an unrelated
     cache materialized between rotations must survive (the r2 global

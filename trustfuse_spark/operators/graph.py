@@ -1,0 +1,84 @@
+"""Graph materialization over fused triples (SURVEY §2.1 S10).
+
+The reference renders an entity -> attribute -> value graph for display
+(visualization.py:1-154) and extracts per-entity neighborhood triple sets
+(generate_subgraph.py:25-86). The UI is out of scope; the DATA surfaces are
+not — this module materializes them as DataFrames:
+
+* :func:`triples_to_edges` — the typed edge list (src=subject, dst=object,
+  labeled by predicate), the KG's adjacency surface;
+* :func:`node_degrees` — per-node out/in/total degree, the size/centrality
+  metadata the reference's viz sizes nodes by;
+* :func:`ego_subgraph` — the k-hop neighborhood triple set around a root
+  entity (reference generate_subgraph builds exactly the 1-hop set), as
+  iterated semi-joins: hop frontiers stay DataFrames, no driver-side
+  traversal, so a 10^12-edge graph pages through the joins instead of a
+  collect.
+
+Scale shape: edges are one shuffle off the triples table; degrees are a
+single groupBy each side; ego expansion joins frontier (small, broadcast by
+AQE) against the edge table per hop — never materializing anything bigger
+than the neighborhood itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triples_to_edges(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj[, bucket_id]) -> edge list (src, dst, pred, ...).
+
+    Object values become destination nodes verbatim (the reference's graph
+    does the same — value nodes are labels, visualization.py edge build).
+    """
+    cols = [
+        F.col("subj").alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("pred").alias("pred"),
+    ]
+    if "bucket_id" in triples.columns:
+        cols.append(F.col("bucket_id"))
+    return triples.select(*cols)
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree table: out_deg (as src), in_deg (as dst), degree.
+
+    Two grouped counts + one outer join — each side a single shuffle on the
+    node key; AQE handles celebrity-node skew on the join.
+    """
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "node", "full")
+        .fillna(0, subset=["out_deg", "in_deg"])
+        .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
+    )
+
+
+def ego_subgraph(edges: DataFrame, root: str, hops: int = 1) -> DataFrame:
+    """Edges within ``hops`` of ``root`` following edge direction
+    (reference generate_subgraph.py:25-86 collects the root entity's triple
+    set; hops=1 reproduces it, higher hops generalize).
+
+    Frontier expansion is a per-hop semi-join: the frontier node set stays
+    a DataFrame (AQE broadcasts it while small); emitted edges carry the
+    hop index at which they were first reached.
+    """
+    frontier = edges.sparkSession.createDataFrame([(root,)], "node string")
+    out: DataFrame | None = None
+    for hop in range(1, hops + 1):
+        hop_edges = edges.join(
+            frontier.select(F.col("node").alias("src")), "src", "left_semi"
+        ).withColumn("hop", F.lit(hop))
+        out = hop_edges if out is None else out.unionByName(hop_edges)
+        frontier = hop_edges.select(F.col("dst").alias("node")).distinct()
+    assert out is not None, "hops must be >= 1"
+    # an edge reachable at several hops keeps its smallest hop index
+    return out.groupBy("src", "dst", "pred").agg(F.min("hop").alias("hop"))
