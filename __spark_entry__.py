@@ -192,6 +192,29 @@ def session_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL sessionize operator (bucketize.sessionize) with the
+    delta-boundary hot-entity pre-split ENABLED, over event-derived claims
+    (alpha=2d re-claim rule, delta=30d inactivity rule). The oracle
+    implements the reference's UNSPLIT close rule directly in SQL windows —
+    a green hash proves the distributed pre-split is exact on real data,
+    not just the planted pytest case."""
+    from trustfuse_spark.operators.bucketize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    claims = ev.select(
+        F.concat(F.lit("e"), (F.col("user_id") % 200).cast("string")).alias("entity"),
+        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string")).alias("source"),
+        F.col("event_type").alias("attr"),
+        "ts",
+    )
+    out = sessionize(claims, alpha_s=172_800, delta_s=2_592_000, presplit=True)
+    return out.groupBy("entity").agg(
+        (F.max("bucket_id") + 1).cast("int").alias("n_buckets"),
+        F.count("*").alias("n_claims"),
+    )
+
+
 def eval_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO1-SO4: TP/FP/FN via inner/anti joins (evaluation.py:211-214 algebra)."""
     p = _t(spark, sf_dir, "part")
@@ -748,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_per_group": argmax_per_group,
         "stddev_denom": stddev_denom,
         "session_bucketize": session_bucketize,
+        "session_presplit": session_presplit,
         "eval_set_ops": eval_set_ops,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
@@ -852,6 +876,36 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             ) GROUP BY user_id
+        """,
+        # UNSPLIT session-close rule in plain SQL windows; matching the
+        # presplit Spark path proves the delta-boundary split exact.
+        "session_presplit": """
+            WITH ev AS (
+              SELECT 'e' || CAST(user_id % 200 AS VARCHAR) AS entity,
+                     's' || CAST(event_id % 5 AS VARCHAR) AS source,
+                     event_type AS attr,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
+              FROM events),
+            g AS (
+              SELECT *,
+                     sec - LAG(sec) OVER (PARTITION BY entity
+                                          ORDER BY ts, source, attr) AS ent_gap,
+                     sec - LAG(sec) OVER (PARTITION BY entity, source, attr
+                                          ORDER BY ts) AS spa_gap
+              FROM ev),
+            c AS (
+              SELECT *, CASE WHEN ent_gap > 2592000 THEN 1
+                             WHEN spa_gap > 172800 THEN 1
+                             ELSE 0 END AS cl
+              FROM g),
+            b AS (
+              SELECT entity,
+                     SUM(cl) OVER (PARTITION BY entity ORDER BY ts, source, attr
+                                   ROWS UNBOUNDED PRECEDING) AS bucket
+              FROM c)
+            SELECT entity, CAST(MAX(bucket) + 1 AS INT) AS n_buckets,
+                   COUNT(*) AS n_claims
+            FROM b GROUP BY entity
         """,
         "eval_set_ops": """
             WITH it AS (SELECT p_brand, p_partkey FROM part WHERE p_retailprice > 1400),
