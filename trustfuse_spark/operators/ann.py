@@ -42,10 +42,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
-    """Exact cosine top-k per query (ties -> smaller candidate id)."""
+    """Exact cosine top-k per query (ties -> smaller candidate id).
+
+    This is the documented EXACT baseline: the crossJoin scans every
+    candidate per query, so total work is |queries| x |corpus| — use
+    ivf_topk as the scale path whenever |queries| is more than a handful.
+    The query side is broadcast only when a bounded count verifies it fits
+    (<= max_broadcast_queries rows, same guard shape as ivf_topk); larger
+    query sets fall back to Spark's own cross-join strategy rather than
+    asserting an 8 GB broadcast by contract."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    if queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries:
+        q = F.broadcast(q)
     sims = q.crossJoin(c).select(
         "qid",
         "cid",
@@ -182,7 +193,7 @@ def ivf_topk(
     ncells: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
-    max_broadcast_queries: int = 1_000_000,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """IVF search: assign candidates to cells once (projection against the
     centroid literal — no join), probe the nprobe nearest cells per query
@@ -203,11 +214,16 @@ def ivf_topk(
     # Broadcast the probed queries when they verifiably fit: a hash shuffle
     # on `cell` caps the cosine stage's parallelism at ncells partitions, so
     # broadcast keeps the candidate side's partitioning untouched — but the
-    # probed set is data-dependent (|queries| x nprobe rows), so the hint is
-    # GUARDED by an actual count instead of asserted by contract (ADVICE
-    # r2): oversized query sets fall back to the shuffle join and let AQE
-    # pick the strategy from runtime sizes.
-    if queries.limit(max_broadcast_queries + 1).count() * nprobe <= max_broadcast_queries:
+    # probed set is data-dependent (|queries| x nprobe rows; that product is
+    # what max_broadcast_rows bounds), so the hint is GUARDED by an actual
+    # count instead of asserted by contract (ADVICE r2): oversized query
+    # sets fall back to the shuffle join and let AQE pick the strategy from
+    # runtime sizes. The count scans only a (max_broadcast_rows/nprobe + 1)-
+    # row prefix of `queries` — the minimal evidence for the decision —
+    # rather than a full count of a possibly expensive upstream plan
+    # (ADVICE r3).
+    qcap = max(max_broadcast_rows // max(nprobe, 1), 1)
+    if queries.limit(qcap + 1).count() <= qcap:
         probed = F.broadcast(probed)
     sims = cand_cells.join(probed, "cell").select(
         "qid",

@@ -58,6 +58,14 @@ def sessionize(
     store bounds per-key memory.
     """
     if presplit:
+        if alpha_s > delta_s:
+            # the presplit equivalence argument treats any cross-segment gap
+            # (guaranteed only > delta) as an alpha close, which diverges
+            # from the unsplit rule when alpha > delta (ADVICE r3)
+            raise ValueError(
+                f"presplit=True requires alpha_s <= delta_s (got alpha_s="
+                f"{alpha_s} > delta_s={delta_s}); use presplit=False"
+            )
         return _sessionize_presplit(claims, alpha_s, delta_s, ts_col)
     ts = F.unix_timestamp(F.col(ts_col))
     w_ent = Window.partitionBy("entity").orderBy(ts_col, "source", "attr")

@@ -14,8 +14,12 @@ shed degenerate buckets — the standard guard against hot buckets at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -29,6 +33,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _shed_hot_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows whose ``keys`` group exceeds max_bucket members.
+
+    Aggregate + broadcast anti-join, NOT count(*) OVER (PARTITION BY keys):
+    the window formulation sorts the full banded table (corpus x bands rows)
+    just to produce a per-bucket count, while the oversized-bucket list is
+    by construction tiny (only degenerate buckets pass the cap), so the agg
+    collapses map-side and the anti-join broadcasts it (VERDICT r3)."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 def shingles(
@@ -123,9 +144,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    sized = banded.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsize") <= max_bucket)
+    sized = _shed_hot_buckets(banded, ["band", "bucket"], max_bucket)
     a = sized.select("band", "bucket", F.col("id").alias("id_a"))
     b = sized.select("band", "bucket", F.col("id").alias("id_b"))
     return (
@@ -334,30 +353,40 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
-    16-bit chunks (a pair within distance 3 shares at least one of 4 chunks).
-    Chunk buckets larger than max_bucket are shed before the self-join — the
-    same hot-bucket guard as lsh_candidate_pairs (a degenerate chunk value,
-    e.g. all-boilerplate corpora, otherwise goes quadratic)."""
-    sh = simhash(df, id_col, text_col).cache()
+    4 bit-chunks (a pair within distance 3 shares at least one of 4 chunks —
+    pigeonhole; chunk width = ceil(bits/4), i.e. the classic 16-bit blocks
+    at the 64-bit default). Chunk buckets larger than max_bucket are shed
+    before the self-join — the same hot-bucket guard as lsh_candidate_pairs
+    (a degenerate chunk value, e.g. all-boilerplate corpora, otherwise goes
+    quadratic).
+
+    bits / token_hash pass through to simhash(): the 31-bit
+    polynomial_token_hash variant lets the simhash_neardup_full driver gate
+    recompute the ENTIRE pipeline (token hash -> bit votes -> hamming
+    filter) independently in DuckDB; the xxhash64/64-bit default is the
+    corpus-scale path."""
+    width = -(-bits // 4)  # ceil
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash).cache()
     chunks = sh.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), width * c)
+                    .bitwiseAND(F.lit(mask))
                     .alias(f"c{c}")
                     for c in range(4)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
     )
-    chunks = chunks.withColumn(
-        "__bsize", F.count("*").over(Window.partitionBy("chunk_idx", "chunk"))
-    ).filter(F.col("__bsize") <= max_bucket)
+    chunks = _shed_hot_buckets(chunks, ["chunk_idx", "chunk"], max_bucket)
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
     pairs = (
@@ -392,42 +421,50 @@ def embedding_near_dups(
     """
     dim_probe = df.select(F.size(vec_col).alias("d")).first()["d"]
     df = _fan_out(df)
-    # deterministic pseudo-hyperplanes: sign of sum_j v_j * g(p,j), where
-    # g(p,j) = centered hash noise — seedable, no driver-side matrices
-    bits = []
-    for p in range(bands * planes_per_band):
-        prod = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim_probe - 1)),
-                    lambda j: (
-                        (F.xxhash64(j.cast("string"), F.lit(p)) % 1000).cast("double") / 500.0 - 1.0
-                    ),
-                ),
-                lambda v, g: v.cast("double") * g,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # Deterministic pseudo-hyperplanes g(p, j) = centered hash noise from
+    # Spark's own xxhash64 — materialized ONCE as a planes x dim matrix (a
+    # few-thousand-row Spark job) and applied per batch as a single numpy
+    # matmul inside an Arrow pandas UDF. The former expression form ran
+    # bands*planes_per_band interpreted aggregate/zip_with folds per row
+    # (~dim x planes interpreted ops, the dominant sketch-stage CPU at
+    # scale — VERDICT r3); the matrix values are the identical xxhash64
+    # derivation, so sketches are reproducible across runs and versions.
+    n_planes = bands * planes_per_band
+    spark = df.sparkSession
+    g_rows = (
+        spark.range(dim_probe).select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(n_planes).select(F.col("id").cast("int").alias("p")))
+        .select(
+            "j", "p",
+            ((F.xxhash64(F.col("j").cast("string"), F.col("p")) % 1000).cast("double") / 500.0 - 1.0).alias("g"),
         )
-        bits.append(F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0)))
-    band_sketches = F.array(
-        *[
-            F.concat_ws(
-                "",
-                *[bits[bd * planes_per_band + r].cast("string") for r in range(planes_per_band)],
-            )
-            for bd in range(bands)
-        ]
+        .collect()
     )
+    G = np.zeros((n_planes, dim_probe), dtype="float64")
+    for r in g_rows:
+        G[r["p"], r["j"]] = r["g"]
+    r_per_band = planes_per_band
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def band_sketches(vs: pd.Series) -> pd.Series:
+        V = np.vstack(vs.to_numpy()).astype("float64")  # batch x dim
+        B = (V @ G.T >= 0).astype("uint8")  # batch x planes sign bits
+        out = []
+        for row in B:
+            out.append(
+                [
+                    "".join(map(str, row[bd * r_per_band : (bd + 1) * r_per_band]))
+                    for bd in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
     sk = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.posexplode(band_sketches).alias("band", "sketch"),
-    )
-    sk = sk.withColumn(
-        "__bsize", F.count("*").over(Window.partitionBy("band", "sketch"))
-    ).filter(F.col("__bsize") <= max_bucket)
+        F.posexplode(band_sketches(F.col(vec_col))).alias("band", "sketch"),
+    ).localCheckpoint(eager=False)  # shed + self-join both read it; don't rerun the UDF
+    sk = _shed_hot_buckets(sk, ["band", "sketch"], max_bucket)
     a = sk.select("band", "sketch", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = sk.select("band", "sketch", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     cand = (

@@ -91,6 +91,8 @@ class CheckpointRotator:
     previous tau), so freeing only >=2-generations-old is the safe contract.
     """
 
+    _probe_warned = False  # class-level: warn once per process, not per loop
+
     def __init__(self, spark, keep: int = 2) -> None:
         self._spark = spark
         self._keep = max(1, keep)
@@ -116,6 +118,20 @@ class CheckpointRotator:
             # returned Dataset wraps
             gen = {int(out._jdf.queryExecution().analyzed().rdd().id())}
         except Exception:  # plan shape changed across Spark versions
+            # Warn once instead of silently reintroducing the r1
+            # checkpoint-block leak (6-7x bench bloat) — a Spark upgrade
+            # that breaks this internal probe must be visible (ADVICE r3).
+            if not CheckpointRotator._probe_warned:
+                CheckpointRotator._probe_warned = True
+                import warnings
+
+                warnings.warn(
+                    "CheckpointRotator: LogicalRDD-id probe failed (internal"
+                    " Spark API changed?); checkpointed blocks will NOT be"
+                    " freed and long fusion loops may leak storage memory",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             gen = set()
         self._gens.append(gen)
         while len(self._gens) > self._keep:
