@@ -85,6 +85,17 @@ _CLAIMS_SQL = """
 """
 
 
+# CATD gate slice: user_id < 15 keeps per-source fact counts <= 75 so
+# chi2.cdf(0.025, k) stays inside double range (see catd_engine_weights).
+_CLAIMS_SMALL_SQL = """
+    SELECT 's' || CAST(event_id % 7 AS VARCHAR) AS source,
+           'e' || CAST(user_id AS VARCHAR)      AS entity,
+           event_type                            AS attr,
+           ROUND(value, -1)                      AS v
+    FROM events WHERE user_id < 15
+"""
+
+
 def _claims_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -391,6 +402,77 @@ def truthfinder_string_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.weights.select("source", F.round("weight", 6).alias("tau"))
 
 
+def _engine_claims_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine claims restricted to user_id < 15 (75 facts, ~1k claims at
+    sf0.01): CATD's chi2.cdf(0.025, k) underflows double precision for the
+    full corpus's ~640 facts/source, so its gate runs on a slice where the
+    cdf stays representable (k <= 75 -> P ~ 1e-115) and gates ln(weight)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    return ev.select(
+        F.lit(0).alias("bucket_id"),
+        F.concat(F.lit("s"), (F.col("event_id") % 7).cast("string")).alias("source"),
+        F.concat(F.lit("e"), F.col("user_id").cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round("value", -1).cast("string").alias("value_str"),
+        F.round("value", -1).alias("value_num"),
+        F.lit("quantity").alias("claim_type"),
+    )
+
+
+def catd_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_catd (engine code), 2 fixed iterations; compare ln(final weight)
+    per source. The DuckDB oracle recomputes the whole chain closed-form —
+    chi2.cdf(0.025, k) via the same regularized-lower-incomplete-gamma
+    series the engine's pandas UDF implements (4 terms suffice at x=0.0125),
+    exact medians, the weighted-mean truth step, and the second weight pass
+    — so the value hash covers the chi2 UDF, both weight updates, and the
+    truth update end to end (reference catd.py:40-55)."""
+    from trustfuse_spark.operators.fusion.catd import fuse_catd
+
+    res = fuse_catd(_engine_claims_small(spark, sf_dir), max_itr=2, tol=None)
+    return res.weights.select("source", F.round(F.log("weight"), 6).alias("lw"))
+
+
+def gtm_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_gtm (engine code), 2 fixed EM iterations; compare ln(sigma^2)
+    per source. The oracle re-derives the reference's quirk-faithful chain
+    (gtm.py:51-123): median prior, single-pass delta0 outlier strip,
+    cn = v - prior, the mixed-scale init M-step evaluated at truth0 = prior,
+    then E -> M -> E -> M. ln() keeps the 6-decimal round well inside fp
+    noise for the ~1e6-magnitude variance sums."""
+    from trustfuse_spark.operators.fusion.gtm import fuse_gtm
+
+    res = fuse_gtm(_engine_claims(spark, sf_dir), max_itr=2, tol=None)
+    return res.weights.select("source", F.round(F.log("weight"), 6).alias("lw"))
+
+
+def kdem_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_kdem (engine code), 1 iteration, Gaussian kernel, pinned h=25;
+    compare per-source reliability c. The oracle recomputes the kernel
+    matrix per fact (a within-fact pairwise self-join), norm_j = K_jj -
+    2(Kw)_j + w'Kw with uniform w, the zero clip, rtn/flen sums, the
+    per-bucket objective, and c = -ln((rtn/cnt)/j) — value-gating the
+    applyInPandas kernel math against independent SQL (reference
+    kdem.py:32-128)."""
+    from trustfuse_spark.operators.fusion.kdem import fuse_kdem
+
+    res = fuse_kdem(_engine_claims(spark, sf_dir), max_itr=1, h=25.0)
+    return res.weights.select("source", F.round("weight", 6).alias("c"))
+
+
+def slimfast_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse_slimfast (engine code), 2 iterations; compare the final shared
+    accuracy sigmoid(w). The oracle replays the exact sequential SGD fold —
+    DuckDB list_reduce over the claims sorted (entity, attr, vkey, source),
+    the same per-claim +/- alpha*sigmoid(w) updates, L1 shrink, and the
+    ACCU-style vote/argmax truth per iteration — so the order-pinned scalar
+    recurrence itself is value-gated (reference slimfast.py:96-176)."""
+    from trustfuse_spark.operators.fusion.slimfast import fuse_slimfast
+
+    res = fuse_slimfast(_engine_claims(spark, sf_dir), max_itr=2)
+    return res.weights.select("source", F.round("weight", 6).alias("w"))
+
+
 # ---------------------------------------------------------------------------
 # operator queries (dedup / text / temporal)
 # ---------------------------------------------------------------------------
@@ -515,7 +597,10 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pairs
     path = _MINHASH_PAIRS_DIR.format(base=base)
     pairs.coalesce(1).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    if out.count() < 1:  # an empty exchange must fail loudly, not green the gate
+        raise ValueError("minhash_neardup_docs: no pairs emitted at gate scale")
+    return out
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,13 +620,37 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus SimHash near-dup pairs via 16-bit-chunk pigeonhole
-    blocking (rows-only: xxhash64 is engine-specific; the SimHash math is
-    value-gated by simhash_docs, the blocking by pytest)."""
-    from trustfuse_spark.operators.dedup import simhash_near_dups
+    """Full-corpus SimHash near-dup pairs — the COMPLETE blocking + hamming
+    path (chunk pigeonhole blocks, hot-bucket shed, XOR bit_count filter),
+    VALUE-gated: run with the engine-portable 31-bit polynomial token hash
+    over ASCII-normalized text, the emitted (id_a, id_b) list persists via
+    the pair-exchange pattern, and the DuckDB oracle independently
+    recomputes BOTH docs' simhashes from raw text (list_reduce polynomial
+    fold, bit votes, sign reassembly), XORs them, and re-applies the
+    hamming threshold — so a wrong simhash, wrong hamming value, or any
+    sub-threshold false positive breaks the hash (blocking recall stays
+    pytest-gated, as for the other LSH gates). max_hamming=1 keeps the
+    31-bit rule as selective as the 64-bit default's 3 (3/64 ~ 1.5/31);
+    xxhash64/64-bit remains the corpus-scale default path (pytest-covered)."""
+    import os
 
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    from trustfuse_spark.operators.dedup import polynomial_token_hash, simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    pairs = simhash_near_dups(
+        d, "doc_id", "text", max_hamming=1, bits=31, token_hash=polynomial_token_hash
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base != "sf0.01":  # pair exchange only at the correctness-gate scale
+        return pairs
+    path = "/root/repo/.oracle_data/simhash_pairs_sf0.01"
+    pairs.coalesce(1).write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    if out.count() < 1:  # an empty exchange must fail loudly, not green the gate
+        raise ValueError("simhash_neardup_full: no pairs emitted at gate scale")
+    return out
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +685,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pairs
     path = f"/root/repo/.oracle_data/embedding_pairs_{base}"
     pairs.coalesce(1).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    # 50 planted clone pairs exist at >=0.999 cosine; banded-LSH recall ~0.95
+    # means an emitted set far below that signals a real regression — and an
+    # EMPTY set must never trivially green the gate (ADVICE r3).
+    if out.count() < 25:
+        raise ValueError("embedding_neardup: implausibly few pairs at gate scale")
+    return out
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,6 +876,57 @@ def evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def specificity_mnad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL specificity + MNAD operators (operators/evaluation.py:109,138
+    vs reference evaluation.py:24-58/374-381): hierarchical coeff scoring in
+    'negative' mode against a deterministic partial-order dim derived from
+    the claimed values, plus mean normalized absolute deviation of numeric
+    truth vs GT. The oracle re-derives both joins + aggregates in SQL."""
+    from trustfuse_spark.operators.evaluation import mnad, specificity
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofyear("ts") % 5).cast("int").alias("bucket_id"),
+        F.concat(F.lit("e"), (F.col("user_id") % 25).cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        F.round(F.col("value"), -2).cast("long").alias("vnum"),
+        "event_id",
+    )
+    w = Window.partitionBy("bucket_id", "entity", "attr").orderBy("event_id")
+    truth = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "bucket_id", "entity", "attr",
+            F.col("vnum").cast("string").alias("value_str"),
+            F.col("vnum").cast("double").alias("value_num"),
+        )
+    )
+    gt = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("bucket_id", "entity", "attr")
+        .agg(
+            F.sort_array(F.collect_set(F.col("vnum").cast("string"))).alias("gt_values"),
+            F.max(F.col("vnum").cast("double")).alias("gt_num"),
+        )
+    )
+    po = (
+        ev.select("attr", F.col("vnum").cast("string").alias("value"))
+        .distinct()
+        .withColumn(
+            "coeff",
+            ((F.abs(F.col("value").cast("long")) / F.lit(100)).cast("long") % 7 + 1) / 7.0,
+        )
+    )
+    spec = specificity(truth, gt, po, mode="negative")
+    mn = mnad(truth, gt)
+    return spec.join(mn, ["bucket_id", "attr"], "left").select(
+        "bucket_id", "attr",
+        F.round("specificity", 6).alias("spec"),
+        "n_ordered",
+        F.round("mnad", 6).alias("mnad_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -782,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crh_engine_weights": crh_engine_weights,
         "truthfinder_engine_weights": truthfinder_engine_weights,
         "accu_engine_weights": accu_engine_weights,
+        "catd_engine_weights": catd_engine_weights,
+        "gtm_engine_weights": gtm_engine_weights,
+        "kdem_engine_weights": kdem_engine_weights,
+        "slimfast_engine_weights": slimfast_engine_weights,
         "truthfinder_string_weights": truthfinder_string_weights,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "text_features": text_features,
@@ -799,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_map_fused": reverse_map_fused,
         "graph_degrees": graph_degrees,
         "evaluation_metrics": evaluation_metrics,
+        "specificity_mnad": specificity_mnad,
     }
 
 
@@ -1124,6 +1295,168 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN a = 1.0 THEN 0.99 WHEN a = 0.0 THEN 0.01
                               ELSE a END, 6) AS w
             FROM a2
+        """,
+        # CATD closed-form: chi2.cdf(0.025, k) = P(k/2, 0.0125) by the same
+        # regularized-lower-incomplete-gamma series the engine's pandas UDF
+        # uses (4 terms reach ~1e-14 relative at x=0.0125); then two full
+        # weight/truth passes. ln(weight) is gated — the cdf spans ~1e-115.
+        "catd_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SMALL_SQL}),
+            counts AS (SELECT source, COUNT(*) AS cnt FROM
+                         (SELECT DISTINCT source, entity, attr FROM claims)
+                       GROUP BY source),
+            chi AS (SELECT source, cnt,
+                           exp((cnt/2.0)*ln(0.0125) - 0.0125 - lgamma(cnt/2.0 + 1.0))
+                           * (1 + 0.0125/(cnt/2.0 + 1)
+                                + 0.0125*0.0125/((cnt/2.0 + 1)*(cnt/2.0 + 2))
+                                + 0.0125*0.0125*0.0125/((cnt/2.0 + 1)*(cnt/2.0 + 2)*(cnt/2.0 + 3))
+                                + 0.0125*0.0125*0.0125*0.0125/((cnt/2.0 + 1)*(cnt/2.0 + 2)*(cnt/2.0 + 3)*(cnt/2.0 + 4))) AS chi2v
+                    FROM counts),
+            t0 AS (SELECT entity, attr, quantile_cont(v, 0.5) AS t
+                   FROM claims GROUP BY entity, attr),
+            raw1 AS (SELECT source, SUM((v - t)*(v - t)) AS raw
+                     FROM claims JOIN t0 USING (entity, attr) GROUP BY source),
+            w1 AS (SELECT source, CASE WHEN raw > 1e-9 THEN chi2v / raw ELSE 1e10 END AS w
+                   FROM raw1 JOIN chi USING (source)),
+            t1 AS (SELECT entity, attr, SUM(w * v) / SUM(w) AS t
+                   FROM claims JOIN w1 USING (source) GROUP BY entity, attr),
+            raw2 AS (SELECT source, SUM((v - t)*(v - t)) AS raw
+                     FROM claims JOIN t1 USING (entity, attr) GROUP BY source)
+            SELECT source,
+                   ROUND(CASE WHEN raw > 1e-9 THEN ln(chi2v / raw) ELSE ln(1e10) END, 6) AS lw
+            FROM raw2 JOIN chi USING (source)
+        """,
+        # GTM quirk-faithful chain: median prior, one-pass delta0 strip,
+        # cn = v - prior, init M-step at truth0 = prior (the reference's
+        # mixed-scale init), then E->M->E->M; weights = sigma^2, ln-gated.
+        "gtm_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            prior AS (SELECT entity, attr, quantile_cont(v, 0.5) AS prior
+                      FROM claims GROUP BY entity, attr),
+            cn AS (SELECT c.entity, c.attr, c.source, c.v - p.prior AS cn, p.prior
+                   FROM claims c JOIN prior p USING (entity, attr)
+                   WHERE p.prior = 0 OR abs(c.v - p.prior) / abs(p.prior) <= 1.0),
+            counts AS (SELECT source, COUNT(*) AS cnt FROM
+                         (SELECT DISTINCT source, entity, attr FROM cn)
+                       GROUP BY source),
+            s0 AS (SELECT source, SUM(20.0 + (cn - prior)*(cn - prior)) AS ssum
+                   FROM cn GROUP BY source),
+            sig0 AS (SELECT source, ssum / (22.0 + cnt) AS s2
+                     FROM s0 JOIN counts USING (source)),
+            t1 AS (SELECT entity, attr, SUM(cn / s2) / (1.0 + SUM(1.0 / s2)) AS t
+                   FROM cn JOIN sig0 USING (source) GROUP BY entity, attr),
+            s1 AS (SELECT source, SUM(20.0 + (cn - t)*(cn - t)) AS ssum
+                   FROM cn JOIN t1 USING (entity, attr) GROUP BY source),
+            sig1 AS (SELECT source, ssum / (22.0 + cnt) AS s2
+                     FROM s1 JOIN counts USING (source)),
+            t2 AS (SELECT entity, attr, SUM(cn / s2) / (1.0 + SUM(1.0 / s2)) AS t
+                   FROM cn JOIN sig1 USING (source) GROUP BY entity, attr),
+            s2c AS (SELECT source, SUM(20.0 + (cn - t)*(cn - t)) AS ssum
+                    FROM cn JOIN t2 USING (entity, attr) GROUP BY source),
+            sig2 AS (SELECT source, ssum / (22.0 + cnt) AS s2
+                     FROM s2c JOIN counts USING (source))
+            SELECT source, ROUND(ln(s2), 6) AS lw FROM sig2
+        """,
+        # KDEm one iteration: per-fact Gaussian kernel matrix via a
+        # within-fact self-join, norm_j = K_jj - 2(Kw)_j + w'Kw at uniform
+        # w = 1/n, zero clip, rtn/flen, objective j, c = -ln((rtn/cnt)/j).
+        "kdem_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            ci AS (SELECT entity, attr, source, v,
+                          COUNT(*) OVER (PARTITION BY entity, attr) AS n,
+                          ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                             ORDER BY source, v) AS idx
+                   FROM claims),
+            kp AS (SELECT a.entity, a.attr, a.idx AS i, a.source AS source, a.n AS n,
+                          exp(-((a.v - b.v)/25.0)*((a.v - b.v)/25.0)) / sqrt(2*pi()) AS kv
+                   FROM ci a JOIN ci b ON a.entity = b.entity AND a.attr = b.attr),
+            kw AS (SELECT entity, attr, i, ANY_VALUE(source) AS source,
+                          ANY_VALUE(n) AS n, SUM(kv) AS ks
+                   FROM kp GROUP BY entity, attr, i),
+            fw AS (SELECT entity, attr, SUM(ks) AS tot, ANY_VALUE(n) AS n
+                   FROM kw GROUP BY entity, attr),
+            norms AS (SELECT k.entity, k.attr, k.source, k.n,
+                             GREATEST(1.0/sqrt(2*pi()) - 2.0*k.ks/k.n + f.tot/(f.n*f.n), 0.0) AS norm
+                      FROM kw k JOIN fw f ON k.entity = f.entity AND k.attr = f.attr),
+            rtn AS (SELECT source, SUM(norm / n) AS rtn FROM norms GROUP BY source),
+            counts AS (SELECT source, COUNT(*) AS cnt FROM
+                         (SELECT DISTINCT source, entity, attr FROM claims)
+                       GROUP BY source)
+            SELECT r.source,
+                   ROUND(CASE WHEN r.rtn > 0
+                              THEN -ln((r.rtn / c.cnt) / (SELECT SUM(rtn) FROM rtn))
+                              ELSE 0.0 END, 6) AS c
+            FROM rtn r JOIN counts c ON r.source = c.source
+        """,
+        # SLiMFast shared-scalar degeneracy: per-iteration ACCU-style vote
+        # with the shared accuracy, then the EXACT sequential SGD fold as a
+        # list_reduce over claims sorted (entity, attr, vkey, source) — the
+        # same order the engine pins — with the identical per-claim sigmoid
+        # updates and L1 shrink; two iterations, gate sigmoid(w_final).
+        "slimfast_engine_weights": f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            prep AS (SELECT entity, attr, source, MIN(CAST(v AS VARCHAR)) AS vkey
+                     FROM claims GROUP BY entity, attr, source),
+            nv AS (SELECT entity, attr, COUNT(DISTINCT vkey) AS n_vals
+                   FROM prep GROUP BY entity, attr),
+            pn AS (SELECT p.entity, p.attr, p.source, p.vkey, n.n_vals
+                   FROM prep p JOIN nv n USING (entity, attr)),
+            w0 AS (SELECT -ln(1.0/0.8 - 1.0) AS w),
+            a0 AS (SELECT CASE WHEN a >= 1.0 THEN 0.99 WHEN a <= 0.0 THEN 0.01
+                               ELSE a END AS a
+                   FROM (SELECT 1.0/(1.0 + exp(-(SELECT w FROM w0))) AS a)),
+            s1 AS (SELECT entity, attr, vkey, n_vals,
+                          CASE WHEN n_vals = 1 THEN 1.0
+                               ELSE SUM(ln(GREATEST(n_vals - 1, 1) * (SELECT a FROM a0)
+                                           / (1.0 - (SELECT a FROM a0)))) END AS score
+                   FROM pn GROUP BY entity, attr, vkey, n_vals),
+            t1 AS (SELECT entity, attr, vkey FROM (
+                     SELECT entity, attr, vkey,
+                            ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                               ORDER BY score DESC, vkey ASC) AS rn
+                     FROM s1) WHERE rn = 1),
+            c1 AS (SELECT p.entity, p.attr, p.vkey, p.source,
+                          CASE WHEN p.vkey = t.vkey THEN 1.0 ELSE 0.0 END AS corr
+                   FROM prep p JOIN t1 t USING (entity, attr)),
+            f1 AS (SELECT list(corr ORDER BY entity, attr, vkey, source) AS l FROM c1),
+            w1 AS (SELECT list_reduce(list_prepend((SELECT w FROM w0), l),
+                          (w, c) -> CASE WHEN c = 1.0
+                                         THEN w + 0.01 * (1.0/(exp(-w) + 1.0))
+                                         ELSE w - 0.01 * (1.0/(1.0 + exp(-w))) END) AS w
+                   FROM f1),
+            w1s AS (SELECT CASE WHEN w > 0 THEN GREATEST(0.0, w - 0.01*0.01)
+                                WHEN w < 0 THEN LEAST(0.0, w + 0.01*0.01)
+                                ELSE w END AS w FROM w1),
+            a1 AS (SELECT CASE WHEN a >= 1.0 THEN 0.99 WHEN a <= 0.0 THEN 0.01
+                               ELSE a END AS a
+                   FROM (SELECT 1.0/(1.0 + exp(-(SELECT w FROM w1s))) AS a)),
+            s2 AS (SELECT entity, attr, vkey, n_vals,
+                          CASE WHEN n_vals = 1 THEN 1.0
+                               ELSE SUM(ln(GREATEST(n_vals - 1, 1) * (SELECT a FROM a1)
+                                           / (1.0 - (SELECT a FROM a1)))) END AS score
+                   FROM pn GROUP BY entity, attr, vkey, n_vals),
+            t2 AS (SELECT entity, attr, vkey FROM (
+                     SELECT entity, attr, vkey,
+                            ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                               ORDER BY score DESC, vkey ASC) AS rn
+                     FROM s2) WHERE rn = 1),
+            c2 AS (SELECT p.entity, p.attr, p.vkey, p.source,
+                          CASE WHEN p.vkey = t.vkey THEN 1.0 ELSE 0.0 END AS corr
+                   FROM prep p JOIN t2 t USING (entity, attr)),
+            f2 AS (SELECT list(corr ORDER BY entity, attr, vkey, source) AS l FROM c2),
+            w2 AS (SELECT list_reduce(list_prepend((SELECT w FROM w1s), l),
+                          (w, c) -> CASE WHEN c = 1.0
+                                         THEN w + 0.01 * (1.0/(exp(-w) + 1.0))
+                                         ELSE w - 0.01 * (1.0/(1.0 + exp(-w))) END) AS w
+                   FROM f2),
+            w2s AS (SELECT CASE WHEN w > 0 THEN GREATEST(0.0, w - 0.01*0.01)
+                                WHEN w < 0 THEN LEAST(0.0, w + 0.01*0.01)
+                                ELSE w END AS w FROM w2),
+            a2 AS (SELECT CASE WHEN a >= 1.0 THEN 0.99 WHEN a <= 0.0 THEN 0.01
+                               ELSE a END AS a
+                   FROM (SELECT 1.0/(1.0 + exp(-(SELECT w FROM w2s))) AS a))
+            SELECT source, ROUND((SELECT a FROM a2), 6) AS w
+            FROM (SELECT DISTINCT source FROM prep)
         """,
         "truthfinder_string_weights": f"""
             WITH claims AS (
@@ -1481,6 +1814,98 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = p.id_a
             JOIN sizes sb ON sb.id = p.id_b
             WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.8
+        """,
+        # Full blocking+hamming SimHash gate: recompute BOTH simhashes of
+        # every emitted pair from raw text (same polynomial fold as
+        # simhash_docs), XOR, bit-count, re-apply hamming <= 3.
+        "simhash_neardup_full": r"""
+            WITH pair_ids AS (
+              SELECT id_a, id_b
+              FROM read_parquet('/root/repo/.oracle_data/simhash_pairs_sf0.01/*.parquet')),
+            ids AS (SELECT id_a AS id FROM pair_ids
+                    UNION SELECT id_b FROM pair_ids),
+            t AS (
+              SELECT d.doc_id, regexp_replace(d.text, '[^ -~]', '', 'g') AS text
+              FROM documents d JOIN ids ON ids.id = d.doc_id),
+            tok AS (
+              SELECT doc_id, u.tokv
+              FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x != '')) AS u(tokv)),
+            h AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_prepend(CAST(7 AS BIGINT), list_transform(
+                         generate_series(1, length(tokv)),
+                         i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS th
+              FROM tok),
+            bits AS (
+              SELECT doc_id, b.b,
+                     SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN generate_series(0, 30) AS b(b)
+              GROUP BY doc_id, b.b),
+            sh AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                          AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)
+            SELECT p.id_a, p.id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM pair_ids p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
+        "specificity_mnad": """
+            WITH ev AS (
+              SELECT dayofyear(ts) % 5 AS bucket_id,
+                     'e' || CAST(user_id % 25 AS VARCHAR) AS entity,
+                     event_type AS attr,
+                     CAST(ROUND(value, -2) AS BIGINT) AS vnum,
+                     event_id
+              FROM events),
+            truth AS (
+              SELECT bucket_id, entity, attr,
+                     CAST(vnum AS VARCHAR) AS value, CAST(vnum AS DOUBLE) AS value_num
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_id, entity, attr
+                                                 ORDER BY event_id) AS rn
+                    FROM ev) WHERE rn = 1),
+            gt_pairs AS (
+              SELECT DISTINCT bucket_id, entity, attr, CAST(vnum AS VARCHAR) AS value
+              FROM ev WHERE event_id % 2 = 0),
+            gt_num AS (
+              SELECT bucket_id, entity, attr, MAX(CAST(vnum AS DOUBLE)) AS gt_num
+              FROM ev WHERE event_id % 2 = 0 GROUP BY bucket_id, entity, attr),
+            it_pairs AS (SELECT DISTINCT bucket_id, entity, attr, value FROM truth),
+            correct AS (
+              SELECT i.* FROM it_pairs i WHERE EXISTS (
+                SELECT 1 FROM gt_pairs g WHERE g.bucket_id = i.bucket_id
+                  AND g.entity = i.entity AND g.attr = i.attr AND g.value = i.value)),
+            wrong AS (
+              SELECT i.* FROM it_pairs i WHERE NOT EXISTS (
+                SELECT 1 FROM gt_pairs g WHERE g.bucket_id = i.bucket_id
+                  AND g.entity = i.entity AND g.attr = i.attr AND g.value = i.value)),
+            po AS (SELECT DISTINCT attr, CAST(vnum AS VARCHAR) AS value,
+                          ((abs(vnum) // 100) % 7 + 1) / 7.0 AS coeff
+                   FROM ev),
+            pos AS (SELECT c.bucket_id, c.attr, SUM(p.coeff) AS coeff_sum,
+                           COUNT(*) AS n_ordered
+                    FROM correct c JOIN po p ON p.attr = c.attr AND p.value = c.value
+                    GROUP BY c.bucket_id, c.attr),
+            neg AS (SELECT bucket_id, attr, COUNT(*) AS n_wrong
+                    FROM wrong GROUP BY bucket_id, attr),
+            spec AS (SELECT p.bucket_id, p.attr,
+                            (p.coeff_sum - COALESCE(n.n_wrong, 0)) / p.n_ordered AS specificity,
+                            p.n_ordered
+                     FROM pos p LEFT JOIN neg n USING (bucket_id, attr)),
+            mn AS (SELECT t.bucket_id, t.attr,
+                          AVG(ABS(t.value_num - g.gt_num))
+                          / GREATEST(stddev_pop(g.gt_num), 1e-12) AS mnad
+                   FROM truth t JOIN gt_num g USING (bucket_id, entity, attr)
+                   GROUP BY t.bucket_id, t.attr)
+            SELECT s.bucket_id, s.attr, ROUND(s.specificity, 6) AS spec,
+                   s.n_ordered, ROUND(m.mnad, 6) AS mnad_v
+            FROM spec s LEFT JOIN mn m USING (bucket_id, attr)
         """,
         "known_entities_cum": """
             WITH cl AS (
