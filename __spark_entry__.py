@@ -876,6 +876,24 @@ def evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL connected-components operator (operators/cc.py large-star /
+    small-star — the canonicalization core of the north rule) over a
+    deterministic event-derived graph: 240 nodes in 8-node blocks, edges
+    only within a block, so the expected components are the blocks (or
+    their connected sub-pieces). The oracle computes components entirely
+    differently — a recursive-CTE transitive closure with component =
+    min reachable node — so a wrong merge or a missed propagation round
+    breaks the hash."""
+    from trustfuse_spark.operators.cc import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("event_id") % 240
+    b = a - (a % 8) + F.floor(F.col("event_id") / 7).cast("long") % 8
+    edges = ev.select(a.alias("src"), b.alias("dst"))
+    return connected_components(edges)
+
+
 def specificity_mnad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL specificity + MNAD operators (operators/evaluation.py:109,138
     vs reference evaluation.py:24-58/374-381): hierarchical coeff scoring in
@@ -969,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_map_fused": reverse_map_fused,
         "graph_degrees": graph_degrees,
         "evaluation_metrics": evaluation_metrics,
+        "graph_components": graph_components,
         "specificity_mnad": specificity_mnad,
     }
 
@@ -1855,6 +1874,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh a ON a.doc_id = p.id_a
             JOIN sh b ON b.doc_id = p.id_b
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
+        # Transitive-closure CC oracle: component = min reachable node over
+        # the symmetric edge relation — a wholly different algorithm from
+        # the engine's large-star/small-star rounds.
+        "graph_components": """
+            WITH RECURSIVE ev AS (
+              SELECT event_id % 240 AS a,
+                     (event_id % 240) - (event_id % 240) % 8 + (event_id // 7) % 8 AS b
+              FROM events),
+            edges AS (SELECT DISTINCT a AS src, b AS dst FROM ev WHERE a <> b),
+            sym AS (SELECT src, dst FROM edges
+                    UNION SELECT dst AS src, src AS dst FROM edges),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach(a, b) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+            SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
         """,
         "specificity_mnad": """
             WITH ev AS (
