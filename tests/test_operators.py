@@ -173,6 +173,50 @@ def test_dedup_exact_and_near(spark):
     assert not any(4 in p for p in sh_pairs)
 
 
+def test_simhash_near_dups_portable_31bit(spark):
+    """The 31-bit polynomial-hash variant (the driver gate's path) must
+    agree with a brute-force hamming filter over the same simhashes —
+    exercising the ceil(bits/4)=8-bit chunk blocking, which must lose no
+    pair within the pigeonhole guarantee (hamming <= 3 of 4 chunks)."""
+    from trustfuse_spark.operators.dedup import polynomial_token_hash, simhash
+
+    rows = [(i, f"tok{i % 3} alpha beta gamma delta common tail {i % 2}") for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            df, "doc_id", "text", max_hamming=3, bits=31,
+            token_hash=polynomial_token_hash,
+        ).collect()
+    }
+    sh = {
+        r["id"]: r["simhash"]
+        for r in simhash(
+            df, "doc_id", "text", bits=31, token_hash=polynomial_token_hash
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sh[a] ^ sh[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want and want  # non-trivial: planted templates collide
+
+
+def test_sessionize_presplit_rejects_alpha_above_delta(spark):
+    import pytest as _pytest
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("s0", "e0", "a", datetime(2005, 1, 1))], ["source", "entity", "attr", "ts"]
+    )
+    with _pytest.raises(ValueError, match="alpha_s"):
+        sessionize(df, alpha_s=100, delta_s=10, presplit=True)
+
+
 def test_minhash_prefilters_lossless(spark):
     """The verify-stage prefilters (signature-agreement 3-sigma cut +
     size-ratio bound + candidates-only shingling) must not drop any pair

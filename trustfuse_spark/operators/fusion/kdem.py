@@ -79,22 +79,57 @@ def mad_bandwidth(x: np.ndarray) -> float:
 
 
 def _norms_factory(h: float, method: str):
+    """Per-fact kernel norms, batched MANY FACTS PER ARROW GROUP.
+
+    applyInPandas keyed directly on the fact would ship one tiny Arrow
+    batch + one Python roundtrip per fact (~10-claim groups: measured 31 s
+    at sf0.1 where the math itself is milliseconds). The caller instead
+    groups on a hash bucket of the fact key and this function loops the
+    facts inside one pandas batch — identical per-fact float math, ~100x
+    fewer Arrow/Python crossings, and the bucket count scales with
+    parallelism, not with |facts|."""
+
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["source", "value_num"]).reset_index(drop=True)
-        x = pdf["value_num"].to_numpy(dtype="float64")
-        w = pdf["w"].to_numpy(dtype="float64")
-        n = len(x)
-        if h > 0:
-            k = _kernel((x[:, None] - x[None, :]) / h, method)
-        else:
-            k = np.full((n, n), _kernel(np.array(0.0), method))
-        kw = k @ w
-        norm = np.diag(k) - 2 * kw + float(w @ kw)
-        norm = np.where(norm < 0, 0.0, norm)
+        cols = [f.name for f in _NORM_SCHEMA.fields]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        # ONE global sort, then contiguous numpy slices per fact: a pandas
+        # groupby sub-frame per fact costs ~1.5 ms of frame bookkeeping vs
+        # ~20 us for the actual <=n^2 kernel math (measured 11.7 s vs 0.3 s
+        # on 7.5k facts). Within-fact order (source, value_num) is identical
+        # to the old per-group sort, so the float results are bit-equal.
+        pdf = pdf.sort_values(
+            ["bucket_id", "entity", "attr", "source", "value_num"]
+        ).reset_index(drop=True)
+        change = (
+            pdf["bucket_id"].ne(pdf["bucket_id"].shift())
+            | pdf["entity"].ne(pdf["entity"].shift())
+            | pdf["attr"].ne(pdf["attr"].shift())
+        ).to_numpy()
+        change[0] = True
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        x_all = pdf["value_num"].to_numpy(dtype="float64")
+        w_all = pdf["w"].to_numpy(dtype="float64")
+        norm_all = np.empty(len(pdf), dtype="float64")
+        flen_all = np.empty(len(pdf), dtype="int32")
+        k0 = _kernel(np.array(0.0), method)
+        for s, e in zip(starts, ends):
+            x = x_all[s:e]
+            w = w_all[s:e]
+            n = e - s
+            if h > 0:
+                k = _kernel((x[:, None] - x[None, :]) / h, method)
+            else:
+                k = np.full((n, n), k0)
+            kw = k @ w
+            norm = np.diag(k) - 2 * kw + float(w @ kw)
+            norm_all[s:e] = np.where(norm < 0, 0.0, norm)
+            flen_all[s:e] = n
         out = pdf[["bucket_id", "entity", "attr", "source", "value_num", "w"]].copy()
-        out["norm"] = norm
-        out["flen"] = n
-        return out[[f.name for f in _NORM_SCHEMA.fields]]
+        out["norm"] = norm_all
+        out["flen"] = flen_all
+        return out[cols]
 
     return compute
 
@@ -144,9 +179,15 @@ def fuse_kdem(
     rot_n = CheckpointRotator(claims.sparkSession)
     rot_c = CheckpointRotator(claims.sparkSession)
     c_vec = None
+    # fact-hash bucket count scales with cores, not |facts| (see
+    # _norms_factory); xxhash64 keeps co-fact rows in one pandas batch
+    n_fb = max(claims.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    fb = F.pmod(F.xxhash64("entity", "attr"), F.lit(n_fb))
     for _ in range(max_itr):
         norms = rot_n.rotate(
-            weighted.groupBy(*FACT_KEYS).applyInPandas(compute_norms, _NORM_SCHEMA)
+            weighted.withColumn("__fb", fb)
+            .groupBy("bucket_id", "__fb")
+            .applyInPandas(compute_norms, _NORM_SCHEMA)
         )
         rtn = (
             norms.groupBy(*WEIGHT_KEYS)
