@@ -571,6 +571,39 @@ def gt_carry_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_DIR = "/root/repo/.oracle_data/minhash_pairs_{base}"
 
 
+def _exchange_pairs(
+    spark: SparkSession, pairs: DataFrame, path: str, min_rows: int, name: str
+) -> DataFrame:
+    """Persist a pair-exchange gate's emitted pairs DETERMINISTICALLY.
+
+    Gate-scale only (callers guard on sf0.01), so the pair set is tiny and
+    collected once; rows are sorted and written through pyarrow to a fixed
+    file name — a Spark coalesce(1) write here produced a fresh UUID part
+    file per run, churning git on every sweep even with identical content.
+    Raises when fewer than min_rows pairs emerge: an empty or implausibly
+    small exchange must fail loudly, never trivially green the gate
+    (ADVICE r3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pairs.toPandas()
+    if len(pdf) < min_rows:
+        raise ValueError(f"{name}: implausibly few pairs at gate scale ({len(pdf)})")
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    os.makedirs(path, exist_ok=True)
+    for f in os.listdir(path):  # clear stale Spark-era part files
+        fp = os.path.join(path, f)
+        if os.path.isfile(fp):
+            os.remove(fp)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, "pairs.parquet"),
+    )
+    return spark.createDataFrame(pdf)
+
+
 def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents, VALUE-gated via a pair
     exchange: DuckDB lacks xxhash64 so it cannot re-run the LSH banding, but
@@ -596,11 +629,7 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if base != "sf0.01":  # pair exchange only at the correctness-gate scale
         return pairs
     path = _MINHASH_PAIRS_DIR.format(base=base)
-    pairs.coalesce(1).write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    if out.count() < 1:  # an empty exchange must fail loudly, not green the gate
-        raise ValueError("minhash_neardup_docs: no pairs emitted at gate scale")
-    return out
+    return _exchange_pairs(spark, pairs, path, 1, "minhash_neardup_docs")
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,11 +675,7 @@ def simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     if base != "sf0.01":  # pair exchange only at the correctness-gate scale
         return pairs
     path = "/root/repo/.oracle_data/simhash_pairs_sf0.01"
-    pairs.coalesce(1).write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    if out.count() < 1:  # an empty exchange must fail loudly, not green the gate
-        raise ValueError("simhash_neardup_full: no pairs emitted at gate scale")
-    return out
+    return _exchange_pairs(spark, pairs, path, 1, "simhash_neardup_full")
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,14 +709,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if base != "sf0.01":  # pair exchange only at the correctness-gate scale
         return pairs
     path = f"/root/repo/.oracle_data/embedding_pairs_{base}"
-    pairs.coalesce(1).write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    # 50 planted clone pairs exist at >=0.999 cosine; banded-LSH recall ~0.95
-    # means an emitted set far below that signals a real regression — and an
-    # EMPTY set must never trivially green the gate (ADVICE r3).
-    if out.count() < 25:
-        raise ValueError("embedding_neardup: implausibly few pairs at gate scale")
-    return out
+    # floor 25: 50 planted clone pairs exist at >=0.999 cosine; banded-LSH
+    # recall ~0.95 means an emitted set far below that is a real regression.
+    return _exchange_pairs(spark, pairs, path, 25, "embedding_neardup")
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
