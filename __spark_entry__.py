@@ -965,6 +965,90 @@ def specificity_mnad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode value gate (SURVEY §2.10 multimodal plumbing; the
+    reference routes media properties out of fusion, generate_buckets.py:
+    81-133 — here they are decoded into first-class columns).
+
+    Every documents row gets a planted payload — PPM P6 for even doc_ids,
+    4-byte-padded bottom-up 24-bit BMP for odd — whose pixel at (y, x,
+    channel) is (doc_id + 3x + 5y + 11c) % 256. The PRODUCTION decoder
+    (operators/multimodal.extract_features fake=False, Arrow mapInPandas)
+    parses the raw bytes; the per-channel integer pixel SUMS are then
+    recovered exactly from its float32 channel means (sum = mean*255*w*h
+    <= 40k << 2^24, so the float32 round-trip is exact after rounding —
+    verified for every doc_id < 5000). The oracle recomputes dims + sums
+    closed-form from doc_id alone: a wrong header parse, BGR/RGB swap,
+    row-padding slip, or channel-offset bug breaks the hash."""
+    import pandas as pd  # noqa: F401 — mapInPandas body
+
+    from trustfuse_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            refs, types, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = d % 13 + 5
+                h = d % 7 + 3
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((d + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+                if d % 2 == 0:
+                    buf = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+                else:
+                    row_size = (w * 3 + 3) // 4 * 4
+                    pad = b"\x00" * (row_size - w * 3)
+                    body = b"".join(
+                        px[yy, :, ::-1].tobytes() + pad
+                        for yy in range(h - 1, -1, -1)
+                    )
+                    buf = (
+                        b"BM" + (54 + len(body)).to_bytes(4, "little")
+                        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                        + (40).to_bytes(4, "little")
+                        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                        + (0).to_bytes(4, "little")
+                        + len(body).to_bytes(4, "little")
+                        + (2835).to_bytes(4, "little") * 2
+                        + (0).to_bytes(4, "little") * 2
+                        + body
+                    )
+                refs.append(str(d))
+                types.append("image")
+                payloads.append(buf)
+            yield pd.DataFrame(
+                {"media_ref": refs, "media_type": types, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_ref string, media_type string, payload binary"
+    )
+    feats = extract_features(media, dim=8, fake=False)
+    f = F.col("feature")
+    w = F.element_at(f, 1).cast("int")
+    h = F.element_at(f, 2).cast("int")
+    area = w.cast("double") * h.cast("double")
+    return feats.select(
+        F.col("media_ref").cast("bigint").alias("doc_id"),
+        w.alias("width"),
+        h.alias("height"),
+        *[
+            F.round(F.element_at(f, 4 + i).cast("double") * 255.0 * area)
+            .cast("bigint")
+            .alias(name)
+            for i, name in enumerate(["sum_r", "sum_g", "sum_b"])
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1009,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_metrics": evaluation_metrics,
         "graph_components": graph_components,
         "specificity_mnad": specificity_mnad,
+        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -2000,5 +2085,24 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY entity, attr ORDER BY bucket_id
                                ROWS UNBOUNDED PRECEDING), 6) AS carried
             FROM sparse
+        """,
+        # Closed-form decode oracle: the planted pixel rule (doc_id + 3x +
+        # 5y + 11c) % 256 lets DuckDB recompute each image's exact integer
+        # channel sums from doc_id alone — no byte parsing oracle-side, so
+        # a header/stride/BGR bug in the engine decoder breaks the hash.
+        "multimodal_decode": """
+            WITH sel AS (
+              SELECT doc_id, doc_id % 13 + 5 AS width, doc_id % 7 + 3 AS height
+              FROM documents
+            )
+            SELECT s.doc_id, s.width, s.height,
+                   SUM((s.doc_id + 3*gx.x + 5*gy.y) % 256) AS sum_r,
+                   SUM((s.doc_id + 3*gx.x + 5*gy.y + 11) % 256) AS sum_g,
+                   SUM((s.doc_id + 3*gx.x + 5*gy.y + 22) % 256) AS sum_b
+            FROM sel s
+            CROSS JOIN generate_series(0, 16) gx(x)
+            CROSS JOIN generate_series(0, 8) gy(y)
+            WHERE gx.x < s.width AND gy.y < s.height
+            GROUP BY 1, 2, 3
         """,
     }
