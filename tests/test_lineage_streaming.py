@@ -153,3 +153,69 @@ def test_iceberg_roundtrip_when_runtime_present(spark, tmp_path):
     # snapshot overwrite: createOrReplace is atomic, second write replaces
     sink.write(df.limit(4), "t1")
     assert sink.read(spark, "t1").count() == 4
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must reproduce the batch
+    alpha/delta rule EXACTLY, including when the same entity's history is
+    split across micro-batches (state carries the entity clock and every
+    (source, attr) pair clock over the batch boundary)."""
+    import os
+
+    from trustfuse_spark.operators.bucketize import sessionize
+    from trustfuse_spark.streaming.sessions import stream_sessionize_stateful
+
+    DAY = 86_400
+    alpha, delta = 10 * DAY, 100 * DAY
+    # deterministic claim history: per entity, cycle gaps that exercise
+    # within-alpha upsert (no close), pair-gap close, and delta close
+    gaps = [1, 6, 11, 3, 40, 2, 150, 5, 12, 9]  # days
+    rows = []
+    t0 = 1_577_836_800  # 2020-01-01
+    for ent_i, ent in enumerate(["A", "B", "hot"]):
+        n = 40 if ent == "hot" else 12
+        t = t0 + ent_i * 3_600  # desync entities; keep per-entity ts distinct
+        for i in range(n):
+            t += gaps[(i + ent_i) % len(gaps)] * DAY
+            src = f"s{i % 3}"
+            attr = f"p{i % 2}"
+            rows.append((src, ent, attr, f"v{i}", t))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["source", "entity", "attr", "value_str", "sec"])
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    pdf = pdf.drop(columns="sec").sort_values("ts", ignore_index=True)
+
+    batch_df = spark.createDataFrame(pdf)
+    expected = {
+        tuple(r)
+        for r in sessionize(batch_df, alpha_s=alpha, delta_s=delta).collect()
+    }
+
+    for n_files in (1, 4):
+        d = tmp_path / f"claims_{n_files}"
+        d.mkdir()
+        chunk = (len(pdf) + n_files - 1) // n_files
+        for k in range(n_files):
+            part = pdf.iloc[k * chunk : (k + 1) * chunk]
+            p = str(d / f"f{k}.parquet")
+            part.to_parquet(p, engine="pyarrow", coerce_timestamps="us")
+            os.utime(p, (t0 + k, t0 + k))  # file-source order = slice order
+        stream = spark.readStream.schema(batch_df.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(d))
+        q = (
+            stream_sessionize_stateful(stream, alpha_s=alpha, delta_s=delta)
+            .writeStream.format("memory")
+            .queryName(f"sess_state_{n_files}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_state_{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM sess_state_{n_files}").collect()
+        }
+        assert got == expected, f"stream != batch with {n_files} micro-batches"

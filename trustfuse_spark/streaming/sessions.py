@@ -9,6 +9,11 @@ streaming variants are the forward-looking surface for live claim streams:
   stream_claim_counts    : windowed per-(entity, attr) claim aggregation
       with late-data watermark
   stream_majority        : incremental majority vote per fact (update mode)
+  stream_sessionize_stateful : the EXACT batch alpha/delta bucket-close
+      rule (generate_buckets.py:171-270) as an incremental
+      applyInPandasWithState operator — bucket ids identical to
+      operators/bucketize.sessionize under in-order delivery
+      (pytest-gated across multi-micro-batch replays)
 
 All take any streaming DataFrame with (source, entity, attr, value_str, ts);
 tests drive them with a rate/memory source through foreachBatch.
@@ -18,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def stream_session_buckets(
@@ -60,4 +66,105 @@ def stream_majority(
         .groupBy(F.window("ts", window).alias("w"), "entity", "attr", "value_str")
         .agg(F.count("*").alias("votes"))
         .select("entity", "attr", "value_str", "votes", "w.start", "w.end")
+    )
+
+
+def stream_sessionize_stateful(
+    claims: DataFrame,
+    alpha_s: int = 864_000,
+    delta_s: int = 63_072_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The reference's exact bucket-close rule (generate_buckets.py:171-270)
+    as an incremental stateful streaming operator.
+
+    `session_window` can express only the single-gap close; the reference
+    closes on EITHER of two clocks — entity inactive > delta, or the SAME
+    (source, attr) pair re-claiming after > alpha — which needs per-pair
+    state. This runs the rule with applyInPandasWithState, keyed by entity:
+
+      state = (last bucket id, entity-level last ts,
+               per-(source, attr) last ts as parallel arrays)
+
+    Each micro-batch sorts its rows by (ts, source, attr) — the batch
+    window order — computes close flags vectorized (entity gap via a
+    shifted array seeded from state, pair gap via a groupby shift whose
+    per-pair first row is seeded from the state map), and emits the rows
+    with bucket_id = state bucket + cumsum(close). Bucket ids are therefore
+    IDENTICAL to operators/bucketize.sessionize under in-order delivery
+    (the pytest replays the same claims through 1..N micro-batches and
+    diffs against the batch path row-for-row).
+
+    Scale shape: state per entity is O(distinct (source, attr) pairs) —
+    bounded by schema width, not by claim volume — and lives in the state
+    store (RocksDB on a cluster), so a hot entity that serializes a batch
+    window sort instead streams through constant memory. Out-of-order
+    input needs a watermark-buffered pre-stage; this operator assumes
+    in-order delivery per entity, matching the revision-history replay the
+    reference processes.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        list(claims.schema.fields) + [StructField("bucket_id", IntegerType())]
+    )
+    state_schema = (
+        "bucket INT, last_ts BIGINT, pair_keys ARRAY<STRING>, "
+        "pair_ts ARRAY<BIGINT>"
+    )
+    cols = [f.name for f in claims.schema.fields]
+
+    def fold(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(
+            [ts_col, "source", "attr"], kind="mergesort", ignore_index=True
+        )
+        # unit-safe: Arrow hands pandas datetime64[ns] or [us] depending on
+        # version — go through datetime64[s] to get unix seconds either way
+        tsv = pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+
+        if state.exists:
+            bucket0, last_ts, pair_keys, pair_ts = state.get
+            pair_last = dict(zip(pair_keys, pair_ts))
+        else:
+            bucket0, last_ts, pair_last = 0, None, {}
+
+        # entity-clock gap: previous row in-batch, seeded from state
+        ent_prev = np.empty(len(tsv), dtype="float64")
+        ent_prev[0] = float(last_ts) if last_ts is not None else np.nan
+        ent_prev[1:] = tsv[:-1]
+
+        # pair-clock gap: per-(source, attr) previous claim
+        pkey = pdf["source"].astype(str) + "\x00" + pdf["attr"].astype(str)
+        prev_in_batch = pd.Series(tsv).groupby(pkey.values).shift()
+        seed = pkey.map(pair_last)  # NaN where the pair was never seen
+        pair_prev = prev_in_batch.fillna(seed).to_numpy(dtype="float64")
+
+        close = (
+            ((tsv - ent_prev) > delta_s) & ~np.isnan(ent_prev)
+        ) | (((tsv - pair_prev) > alpha_s) & ~np.isnan(pair_prev))
+        buckets = bucket0 + np.cumsum(close.astype("int64"))
+
+        pair_last.update(
+            pd.Series(tsv).groupby(pkey.values).max().to_dict()
+        )
+        state.update(
+            (
+                int(buckets[-1]),
+                int(tsv[-1]),
+                list(pair_last.keys()),
+                [int(v) for v in pair_last.values()],
+            )
+        )
+        out = pdf[cols].copy()
+        out["bucket_id"] = buckets.astype("int32")
+        yield out
+
+    return claims.groupBy("entity").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
