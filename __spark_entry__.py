@@ -1388,7 +1388,11 @@ def oracle_sql() -> dict[str, str]:
                    FROM ded d JOIN nv USING (entity, attr)),
             s1 AS (SELECT entity, attr, vkey, n_vals,
                           CASE WHEN n_vals = 1 THEN 1.0
-                               ELSE SUM(LN((n_vals - 1) * 0.8 / 0.2)) END AS score
+                               -- GREATEST: DuckDB evaluates aggregate args on
+                               -- every row even in the untaken CASE branch, so
+                               -- n_vals=1 rows must not feed LN(0) (guard is
+                               -- dead for the branch that's actually used)
+                               ELSE SUM(LN(GREATEST(n_vals - 1, 1) * 0.8 / 0.2)) END AS score
                    FROM dn GROUP BY entity, attr, vkey, n_vals),
             t1 AS (SELECT entity, attr, vkey FROM (
                      SELECT entity, attr, vkey,
@@ -1404,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM a1),
             s2 AS (SELECT d.entity, d.attr, d.vkey, d.n_vals,
                           CASE WHEN d.n_vals = 1 THEN 1.0
-                               ELSE SUM(LN((d.n_vals - 1) * ac.acc / (1 - ac.acc))) END AS score
+                               ELSE SUM(LN(GREATEST(d.n_vals - 1, 1) * ac.acc / (1 - ac.acc))) END AS score
                    FROM dn d JOIN a1c ac USING (source)
                    GROUP BY d.entity, d.attr, d.vkey, d.n_vals),
             t2 AS (SELECT entity, attr, vkey FROM (

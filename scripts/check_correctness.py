@@ -63,6 +63,12 @@ def main() -> int:
     # against the committed sf0.01 ids would mismatch spuriously (ADVICE r3).
     gate_scale_only = {
         "minhash_neardup_docs", "embedding_neardup", "simhash_neardup_full",
+        # catd's chi2 closed form is pinned to the gate-scale dof window
+        # (k <= 75 keeps chi2.cdf(0.025, k) ~ 1e-115 inside double range;
+        # at sf0.1 the same slice reaches k where both the engine's and the
+        # oracle's series underflow differently — documented in the query
+        # docstring)
+        "catd_engine_weights",
     }
     import os
 

@@ -219,3 +219,75 @@ def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM sess_state_{n_files}").collect()
         }
         assert got == expected, f"stream != batch with {n_files} micro-batches"
+
+
+def test_session_fold_core_property():
+    """Property: for ANY claim history and ANY micro-batch split, chaining
+    _session_fold_core equals a naive sequential replay of the batch rule.
+    Pure pandas/numpy — no Spark session involved."""
+    import numpy as np
+
+    from trustfuse_spark.streaming.sessions import _session_fold_core
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    DAY = 86_400
+    alpha, delta = 3 * DAY, 20 * DAY
+
+    @st.composite
+    def history(draw):
+        n = draw(st.integers(min_value=1, max_value=60))
+        gaps = draw(
+            st.lists(
+                st.sampled_from([0, 1, 2 * DAY, 4 * DAY, 21 * DAY, 40 * DAY]),
+                min_size=n, max_size=n,
+            )
+        )
+        # includes pairs any string concatenation would conflate
+        keys = draw(
+            st.lists(
+                st.sampled_from(
+                    [("a", "p"), ("a", "q"), ("b", "p"),
+                     ("a\x00", "p"), ("a", "\x00p"), ("ap", "")]
+                ),
+                min_size=n, max_size=n,
+            )
+        )
+        cuts = draw(st.lists(st.integers(min_value=0, max_value=n),
+                             min_size=0, max_size=4))
+        return gaps, keys, sorted(cuts)
+
+    def naive(tsv, keys):
+        b, last, pair, out = 0, None, {}, []
+        for t, k in zip(tsv, keys):
+            close = 0
+            if last is not None and t - last > delta:
+                close = 1
+            elif k in pair and t - pair[k] > alpha:
+                close = 1
+            b += close
+            out.append(b)
+            last, pair[k] = t, t
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(history())
+    def check(h):
+        gaps, keys, cuts = h
+        tsv = np.cumsum(np.array(gaps, dtype="int64")) + 1_600_000_000
+        expected = naive(tsv, keys)
+        got, state = [], None
+        for lo, hi in zip([0] + cuts, cuts + [len(tsv)]):
+            if hi <= lo:
+                continue
+            buckets, state = _session_fold_core(
+                tsv[lo:hi],
+                np.array([k[0] for k in keys[lo:hi]], dtype=object),
+                np.array([k[1] for k in keys[lo:hi]], dtype=object),
+                state, alpha, delta,
+            )
+            got.extend(int(x) for x in buckets)
+        assert got == expected
+
+    check()

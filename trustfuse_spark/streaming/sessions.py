@@ -69,6 +69,67 @@ def stream_majority(
     )
 
 
+def _session_fold_core(tsv, sources, attrs, prior, alpha_s, delta_s):
+    """One micro-batch of the two-clock close rule, vectorized and pure.
+
+    tsv: int64 unix seconds, already sorted by (ts, source, attr);
+    sources/attrs: parallel key arrays; prior: state tuple (bucket,
+    last_ts, pair_src, pair_attr, pair_ts) or None. Returns (buckets,
+    new_state). Kept module-level and Spark-free so the incremental ==
+    batch invariant is property-testable without a session (pytest drives
+    it over randomized histories and micro-batch splits).
+
+    Pair keys are reduced to integer codes with sort-based np.unique and
+    every group operation runs on the codes — NEVER on strings or tuples:
+    pandas' hash-based groupby/index paths treat object-dtype strings as
+    C strings and silently truncate at an embedded NUL (pandas 2.2 —
+    'a\\x00p' and 'a\\x00q' land in one group), which the property test
+    caught as per-source instead of per-(source, attr) clocks."""
+    import numpy as np
+    import pandas as pd
+
+    if prior is not None:
+        bucket0, last_ts, pair_src, pair_attr, pair_ts = prior
+        pair_last = dict(zip(zip(pair_src, pair_attr), pair_ts))
+    else:
+        bucket0, last_ts, pair_last = 0, None, {}
+
+    # entity-clock gap: previous row in-batch, seeded from state
+    ent_prev = np.empty(len(tsv), dtype="float64")
+    ent_prev[0] = float(last_ts) if last_ts is not None else np.nan
+    ent_prev[1:] = tsv[:-1]
+
+    # pair-clock gap: per-(source, attr) previous claim. Codes via
+    # comparison-based unique (NUL-safe); seeds looked up per UNIQUE pair.
+    pairs = np.fromiter(zip(sources, attrs), dtype=object, count=len(tsv))
+    uniq, codes = np.unique(pairs, return_inverse=True)
+    prev_in_batch = pd.Series(tsv).groupby(codes).shift()
+    seed_per_code = np.array(
+        [float(pair_last.get(u, np.nan)) for u in uniq], dtype="float64"
+    )
+    pair_prev = prev_in_batch.fillna(
+        pd.Series(seed_per_code[codes])
+    ).to_numpy(dtype="float64")
+
+    close = (((tsv - ent_prev) > delta_s) & ~np.isnan(ent_prev)) | (
+        ((tsv - pair_prev) > alpha_s) & ~np.isnan(pair_prev)
+    )
+    buckets = bucket0 + np.cumsum(close.astype("int64"))
+
+    last_per_code = pd.Series(tsv).groupby(codes).max()
+    pair_last.update(
+        (uniq[c], int(t)) for c, t in last_per_code.items()
+    )
+    new_state = (
+        int(buckets[-1]),
+        int(tsv[-1]),
+        [k[0] for k in pair_last],
+        [k[1] for k in pair_last],
+        [int(v) for v in pair_last.values()],
+    )
+    return buckets, new_state
+
+
 def stream_sessionize_stateful(
     claims: DataFrame,
     alpha_s: int = 864_000,
@@ -109,13 +170,12 @@ def stream_sessionize_stateful(
         list(claims.schema.fields) + [StructField("bucket_id", IntegerType())]
     )
     state_schema = (
-        "bucket INT, last_ts BIGINT, pair_keys ARRAY<STRING>, "
-        "pair_ts ARRAY<BIGINT>"
+        "bucket INT, last_ts BIGINT, pair_src ARRAY<STRING>, "
+        "pair_attr ARRAY<STRING>, pair_ts ARRAY<BIGINT>"
     )
     cols = [f.name for f in claims.schema.fields]
 
     def fold(key, pdfs, state):
-        import numpy as np
         import pandas as pd
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -128,39 +188,11 @@ def stream_sessionize_stateful(
         # version — go through datetime64[s] to get unix seconds either way
         tsv = pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
 
-        if state.exists:
-            bucket0, last_ts, pair_keys, pair_ts = state.get
-            pair_last = dict(zip(pair_keys, pair_ts))
-        else:
-            bucket0, last_ts, pair_last = 0, None, {}
-
-        # entity-clock gap: previous row in-batch, seeded from state
-        ent_prev = np.empty(len(tsv), dtype="float64")
-        ent_prev[0] = float(last_ts) if last_ts is not None else np.nan
-        ent_prev[1:] = tsv[:-1]
-
-        # pair-clock gap: per-(source, attr) previous claim
-        pkey = pdf["source"].astype(str) + "\x00" + pdf["attr"].astype(str)
-        prev_in_batch = pd.Series(tsv).groupby(pkey.values).shift()
-        seed = pkey.map(pair_last)  # NaN where the pair was never seen
-        pair_prev = prev_in_batch.fillna(seed).to_numpy(dtype="float64")
-
-        close = (
-            ((tsv - ent_prev) > delta_s) & ~np.isnan(ent_prev)
-        ) | (((tsv - pair_prev) > alpha_s) & ~np.isnan(pair_prev))
-        buckets = bucket0 + np.cumsum(close.astype("int64"))
-
-        pair_last.update(
-            pd.Series(tsv).groupby(pkey.values).max().to_dict()
+        prior = state.get if state.exists else None
+        buckets, new_state = _session_fold_core(
+            tsv, pdf["source"].values, pdf["attr"].values, prior, alpha_s, delta_s
         )
-        state.update(
-            (
-                int(buckets[-1]),
-                int(tsv[-1]),
-                list(pair_last.keys()),
-                [int(v) for v in pair_last.values()],
-            )
-        )
+        state.update(new_state)
         out = pdf[cols].copy()
         out["bucket_id"] = buckets.astype("int32")
         yield out
