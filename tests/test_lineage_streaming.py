@@ -291,3 +291,38 @@ def test_session_fold_core_property():
         assert got == expected
 
     check()
+
+
+def test_stream_claims_ingest_exactly_once(spark, tmp_path):
+    """Streaming docs->claims twins the batch extraction and survives
+    restart + re-trigger without duplicate appends (exactly-once)."""
+    from trustfuse_spark.plans.pipeline import docs_to_claims
+    from trustfuse_spark.streaming.ingest import run_claims_ingest
+
+    docs = gen_docs(spark, 12, 4, 2).cache()
+    first = docs.filter(F.element_at(F.split("doc_id", "_"), -1) == "00")
+    rest = docs.filter(F.element_at(F.split("doc_id", "_"), -1) != "00")
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "claims_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drained(claims_df):
+        cols = ["bucket_id", "source", "entity", "attr", "value_str", "doc_id"]
+        return sorted(tuple(r) for r in claims_df.select(*cols).collect())
+
+    # drop 1: first revision only
+    first.write.mode("append").parquet(in_dir)
+    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    got1 = drained(spark.read.parquet(out_dir))
+    assert got1 == drained(docs_to_claims(first))
+
+    # drop 2: remaining revisions land; same checkpoint resumes and appends
+    # ONLY the new files
+    rest.write.mode("append").parquet(in_dir)
+    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    got2 = drained(spark.read.parquet(out_dir))
+    assert got2 == drained(docs_to_claims(docs))
+
+    # restart with nothing new: the file-source log must yield zero rows
+    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    assert drained(spark.read.parquet(out_dir)) == got2
