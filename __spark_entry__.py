@@ -1049,6 +1049,123 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_units_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 scale_units (operators/scale_units.py vs reference
+    preprocessing.py:176-225): claims planted from events with decade
+    offsets 10^{-2..2} are iteratively pulled onto each fact's dominant
+    scale (per-fact median + conditional x10/x0.1, early stop when nothing
+    moves; the gate pins max_itr=4 — the reference's 10-round cap costs one
+    driver-loop action per round and adds nothing once the mechanism is
+    value-gated). The oracle unrolls the same 4 rounds as chained
+    median+multiply CTEs — rounds after the engine's early stop are no-ops
+    by construction (nothing moved => nothing ever moves again), so the
+    always-N oracle equals the early-stopped engine exactly."""
+    from trustfuse_spark.operators.scale_units import scale_units
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 3
+    mult = F.when(m == 0, 0.1).when(m == 1, 1.0).otherwise(10.0)
+    # base confined to one decade [1, 10) + offsets of one decade either
+    # way: the loop converges in ~3 rounds, so the engine's early stop
+    # fires well inside the 10-round cap (per-round driver latency is the
+    # dominant bench cost of this gate, not row count)
+    claims = ev.select(
+        F.lit(0).alias("bucket_id"),
+        F.concat(F.lit("e"), (F.col("user_id") % 20).cast("string")).alias("entity"),
+        F.col("event_type").alias("attr"),
+        ((F.round("value", 2) % 9.0 + F.lit(1.0)) * mult).alias("value_num"),
+        "event_id",
+    )
+    return scale_units(claims, max_itr=4).select(
+        "entity", "attr", "event_id", F.col("value_num").alias("scaled_value")
+    )
+
+
+def _scale_units_oracle() -> str:
+    """Unrolled CTE chain mirroring the gate's max_itr=4 iteration cap
+    (see scale_units_fixed docstring for why always-N == early-stop)."""
+    sql = [
+        """
+        WITH c0 AS (
+          SELECT 'e' || CAST(user_id % 20 AS VARCHAR) AS entity,
+                 event_type AS attr, event_id,
+                 (fmod(round(value, 2), 9.0) + 1.0) *
+                 (CASE CAST(event_id % 3 AS INT)
+                    WHEN 0 THEN 0.1 WHEN 1 THEN 1.0 ELSE 10.0 END) AS v
+          FROM events
+        )"""
+    ]
+    for k in range(1, 5):
+        sql.append(
+            f""",
+        m{k} AS (
+          SELECT entity, attr, quantile_cont(v, 0.5) AS med
+          FROM c{k - 1} GROUP BY entity, attr
+        ),
+        c{k} AS (
+          SELECT t.entity, t.attr, t.event_id,
+                 CASE WHEN log10(t.v / m.med) < -0.8 THEN t.v * 10
+                      WHEN log10(t.v / m.med) > 0.8 THEN t.v * 0.1
+                      ELSE t.v END AS v
+          FROM c{k - 1} t JOIN m{k} m USING (entity, attr)
+        )"""
+        )
+    sql.append(
+        """
+        SELECT entity, attr, event_id, v AS scaled_value FROM c4"""
+    )
+    return "".join(sql)
+
+
+def revision_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 revision diff (operators/bucketize.revision_diff vs reference
+    compare_revisions, generate_conflicting_dataset.py:290-441): revisions
+    planted from events (value sets keyed by event_id % 37 so consecutive
+    revisions overlap) diffed into added-value events via lag() +
+    array_except. Oracle re-derives the diff with a lag window over DuckDB
+    lists + list_filter/list_contains."""
+    from trustfuse_spark.operators.bucketize import revision_diff
+
+    ev = _t(spark, sf_dir, "events")
+    revs = (
+        ev.groupBy(
+            (F.col("user_id") % 25).alias("entity"),
+            F.col("event_type").alias("prop"),
+            (F.dayofyear("ts") % 6).cast("int").alias("rev_no"),
+        ).agg(
+            F.sort_array(
+                F.collect_set(
+                    F.concat(F.lit("v"), (F.col("event_id") % 37).cast("string"))
+                )
+            ).alias("values"),
+            F.min("user_id").alias("user"),
+            F.min("ts").alias("ts"),
+        )
+    )
+    return revision_diff(revs).select("entity", "prop", "rev_no", "value")
+
+
+def graph_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 k-hop ego subgraph (operators/graph.ego_subgraph vs reference
+    generate_subgraph.py:25-86, generalized past 1 hop): a deterministic
+    200-node graph from events (dst = src*7 + user_id%5 + 1 mod 200, so
+    each node fans out to up to 5 neighbors) expanded 3 hops from n0 via
+    frontier semi-joins; edges keep their smallest hop. The oracle unrolls
+    the frontier expansion as 3 chained CTEs."""
+    from trustfuse_spark.operators.graph import ego_subgraph
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("n"), (F.col("event_id") % 200).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"),
+            ((F.col("event_id") * 7 + F.col("user_id") % 5 + 1) % 200).cast("string"),
+        ).alias("dst"),
+        F.col("event_type").alias("pred"),
+    ).distinct()
+    return ego_subgraph(edges, "n0", hops=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1094,6 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": graph_components,
         "specificity_mnad": specificity_mnad,
         "multimodal_decode": multimodal_decode,
+        "scale_units_fixed": scale_units_fixed,
+        "revision_diff_events": revision_diff_events,
+        "graph_ego": graph_ego,
     }
 
 
@@ -2108,5 +2228,45 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN generate_series(0, 8) gy(y)
             WHERE gx.x < s.width AND gy.y < s.height
             GROUP BY 1, 2, 3
+        """,
+        "scale_units_fixed": _scale_units_oracle(),
+        "revision_diff_events": """
+            WITH revs AS (
+              SELECT user_id % 25 AS entity, event_type AS prop,
+                     CAST(dayofyear(ts) % 6 AS INT) AS rev_no,
+                     list_sort(list_distinct(
+                       list('v' || CAST(event_id % 37 AS VARCHAR)))) AS vals
+              FROM events GROUP BY 1, 2, 3
+            ), lagged AS (
+              SELECT entity, prop, rev_no, vals,
+                     coalesce(lag(vals) OVER (PARTITION BY entity, prop
+                                              ORDER BY rev_no), []) AS prev
+              FROM revs
+            )
+            SELECT entity, prop, rev_no,
+                   unnest(list_filter(vals, x -> NOT list_contains(prev, x)))
+                     AS value
+            FROM lagged
+        """,
+        "graph_ego": """
+            WITH edges AS (
+              SELECT DISTINCT
+                     'n' || CAST(event_id % 200 AS VARCHAR) AS src,
+                     'n' || CAST((event_id * 7 + user_id % 5 + 1) % 200 AS VARCHAR)
+                       AS dst,
+                     event_type AS pred
+              FROM events
+            ),
+            h1 AS (SELECT e.*, 1 AS hop FROM edges e WHERE e.src = 'n0'),
+            f1 AS (SELECT DISTINCT dst AS node FROM h1),
+            h2 AS (SELECT e.*, 2 AS hop FROM edges e
+                   WHERE e.src IN (SELECT node FROM f1)),
+            f2 AS (SELECT DISTINCT dst AS node FROM h2),
+            h3 AS (SELECT e.*, 3 AS hop FROM edges e
+                   WHERE e.src IN (SELECT node FROM f2)),
+            u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+                  UNION ALL SELECT * FROM h3)
+            SELECT src, dst, pred, MIN(hop) AS hop
+            FROM u GROUP BY src, dst, pred
         """,
     }
