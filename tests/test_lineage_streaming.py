@@ -74,7 +74,7 @@ def test_stream_session_buckets(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
     out = spark.sql("SELECT * FROM sess_out").collect()
     per_entity = {}
     for r in out:
@@ -92,7 +92,7 @@ def test_stream_session_buckets(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "availableNow drain timed out"
     vout = spark.sql("SELECT * FROM votes_out").collect()
     assert sum(r["votes"] for r in vout) == 4
 
@@ -213,7 +213,7 @@ def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "availableNow drain timed out"
         got = {
             tuple(r)
             for r in spark.sql(f"SELECT * FROM sess_state_{n_files}").collect()
@@ -312,17 +312,17 @@ def test_stream_claims_ingest_exactly_once(spark, tmp_path):
 
     # drop 1: first revision only
     first.write.mode("append").parquet(in_dir)
-    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    assert run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination(180)
     got1 = drained(spark.read.parquet(out_dir))
     assert got1 == drained(docs_to_claims(first))
 
     # drop 2: remaining revisions land; same checkpoint resumes and appends
     # ONLY the new files
     rest.write.mode("append").parquet(in_dir)
-    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    assert run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination(180)
     got2 = drained(spark.read.parquet(out_dir))
     assert got2 == drained(docs_to_claims(docs))
 
     # restart with nothing new: the file-source log must yield zero rows
-    run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination()
+    assert run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination(180)
     assert drained(spark.read.parquet(out_dir)) == got2

@@ -28,6 +28,10 @@ def test_spark_submit_py_files(tmp_path):
         import pytest
 
         pytest.skip("spark-submit binary not on this machine")
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        import pytest
+
+        pytest.skip("sf0.001 test fixture dir not on this machine")
     zip_base = tmp_path / "trustfuse_spark"
     shutil.make_archive(str(zip_base), "zip", REPO, "trustfuse_spark")
     env = dict(os.environ)

@@ -42,20 +42,26 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    max_broadcast_queries: int = 100_000,
+    max_broadcast_queries: int = 10_000,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query (ties -> smaller candidate id).
 
     This is the documented EXACT baseline: the crossJoin scans every
     candidate per query, so total work is |queries| x |corpus| — use
     ivf_topk as the scale path whenever |queries| is more than a handful.
-    The query side is broadcast only when a bounded count verifies it fits
-    (<= max_broadcast_queries rows, same guard shape as ivf_topk); larger
-    query sets fall back to Spark's own cross-join strategy rather than
+    The query side is broadcast only when it provably fits: pass n_queries
+    when the caller already knows the count (no extra job); otherwise a
+    bounded-prefix probe (limit(max+1).count()) runs ONE job that scans at
+    most max_broadcast_queries+1 rows of the query plan. The 10k default
+    keeps the broadcast ~60 MB even at dim-768 float vectors; larger query
+    sets fall back to Spark's own cross-join strategy rather than
     asserting an 8 GB broadcast by contract."""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    if queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries:
+    if n_queries is None:
+        n_queries = queries.limit(max_broadcast_queries + 1).count()
+    if n_queries <= max_broadcast_queries:
         q = F.broadcast(q)
     sims = q.crossJoin(c).select(
         "qid",

@@ -24,26 +24,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from trustfuse_spark.datagen import _SPAN_ARRAY_T
 from trustfuse_spark.plans.pipeline import docs_to_claims
 
-DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField(
-            "spans",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("kind", T.StringType()),
-                        T.StructField("text", T.StringType()),
-                        T.StructField("media_ref", T.StringType()),
-                        T.StructField("offset", T.IntegerType()),
-                    ]
-                )
-            ),
-        ),
-    ]
-)
+def docs_schema() -> T.StructType:
+    """One source of truth for the docs shape: the generator's span DDL. A
+    hand-copied schema here would silently drift on evolution — Spark's
+    file source with a user schema nulls mismatched fields instead of
+    erroring. Built lazily: DDL parsing needs an active session, so a
+    module-level constant would break plain imports."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("spans", T._parse_datatype_string(_SPAN_ARRAY_T)),
+        ]
+    )
 
 
 def stream_claims(
@@ -59,7 +54,7 @@ def stream_claims(
 
     max_files_per_trigger bounds micro-batch size for steady-state runs
     (unset for availableNow backfills, where Spark slices on its own)."""
-    reader = spark.readStream.schema(DOCS_SCHEMA)
+    reader = spark.readStream.schema(docs_schema())
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_dir)

@@ -156,6 +156,16 @@ def stream_sessionize_stateful(
     (the pytest replays the same claims through 1..N micro-batches and
     diffs against the batch path row-for-row).
 
+    One boundary condition sharpens "in-order delivery": the batch window
+    breaks timestamp TIES by (source, attr), so rows of one entity sharing
+    one timestamp must arrive within ONE micro-batch — split across a
+    batch boundary, the stream has already emitted the earlier row's
+    bucket before learning a tied row would have sorted before it (e.g.
+    an alpha-close at the tied ts assigns the later-arriving tied row a
+    bucket one lower than batch order would). Timestamps strictly
+    increasing per entity (the revision-history shape) or tie-complete
+    micro-batches (e.g. file-per-revision drops) satisfy the contract.
+
     Scale shape: state per entity is O(distinct (source, attr) pairs) —
     bounded by schema width, not by claim volume — and lives in the state
     store (RocksDB on a cluster), so a hot entity that serializes a batch
