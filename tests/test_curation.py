@@ -1,0 +1,185 @@
+"""Tests for the training-data curation operators (operators/curation.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trustfuse_spark.operators.curation import (
+    decontaminate,
+    dup_ngram_ratio,
+    mixture_plan,
+    pack_sequences,
+    pii_redact,
+    pii_scan,
+    portable_uniform,
+    stratified_sample,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "web"),
+        (2, "one two three one two three one two three one", "en", "books"),
+        (3, "short doc", "en", "books"),
+        (4, "der schnelle braune fuchs springt heute wieder sehr hoch", "de", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0]["g"] == ["a b c", "b c d"]
+    assert out[1]["g"] == []
+
+
+def test_decontaminate_finds_planted_gram(spark, docs):
+    bench = spark.createDataFrame(
+        [("gamma delta epsilon",), ("not in any doc",)], "gram string"
+    )
+    out = decontaminate(docs, bench, n=3).select("doc_id", "n_contaminated").collect()
+    got = {r["doc_id"]: r["n_contaminated"] for r in out}
+    assert got[1] == 1
+    assert got[0] == got[2] == got[3] == got[4] == 0
+
+
+def test_decontaminate_counts_repeats(spark):
+    d = spark.createDataFrame([(0, "a b a b a b")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b",)], "gram string")
+    row = decontaminate(d, bench, n=2).first()
+    assert row["n_contaminated"] == 3 and row["contaminated"]
+
+
+def test_pii_scan_and_redact(spark):
+    text = (
+        "mail bob.smith+x@corp.example.org or root@10.1.2.3 node 192.168.0.1 "
+        "call +44 123 4567 8901 end"
+    )
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = pii_scan(d).withColumn("red", pii_redact(F.col("text"))).first()
+    assert row["n_email"] == 1  # root@10.1.2.3 is NOT an email: TLD must be alpha
+    assert row["n_ipv4"] == 2
+    assert row["n_phone"] == 1
+    red = row["red"]
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "bob.smith" not in red and "192.168.0.1" not in red and "4567" not in red
+
+
+def test_dup_ngram_ratio(spark):
+    d = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b c d e f"), (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in d.select("doc_id", dup_ngram_ratio(F.col("text"), 2).alias("r")).collect()
+    }
+    # grams of doc 0: [a b, b a, a b, b a, a b] -> 2 distinct / 5
+    assert got[0] == pytest.approx(0.6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_portable_uniform_matches_manual(spark):
+    df = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    out = {
+        r["k"]: r["u"]
+        for r in df.select("k", portable_uniform(F.col("k"), salt=3).alias("u")).collect()
+    }
+
+    def manual(s, salt):
+        m = (1 << 31) - 1
+        h = 7 + salt
+        for ch in s:
+            h = (h * 31 + ord(ch)) % m
+        for _ in range(2):
+            h = ((h + 1) * 2654435761) % m
+        return h / float(m)
+
+    assert out["k1"] == pytest.approx(manual("k1", 3), abs=1e-12)
+    assert out["k2"] == pytest.approx(manual("k2", 3), abs=1e-12)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    a = stratified_sample(df, "lang", rates, salt=1)
+    b = stratified_sample(df, "lang", rates, salt=1)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # retry-stable
+    counts = {r["lang"]: r["c"] for r in a.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert abs(counts["en"] / (n / 2) - 0.5) < 0.05
+    assert abs(counts.get("de", 0) / (n / 2) - 0.1) < 0.05
+    # unlisted stratum drops entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert stratified_sample(df2, "lang", rates, salt=1).count() == 0
+
+
+def _greedy(toks, cap):
+    out, bin_id, fill, first = [], 0, 0, True
+    for t in toks:
+        if not first and fill + t > cap:
+            bin_id, fill = bin_id + 1, 0
+        out.append((bin_id, fill))
+        fill += t
+        first = False
+    return out
+
+
+def test_pack_sequences_matches_reference_greedy(spark):
+    rows = [(f"s{i % 3}", i, 10 + (i * 37) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        (r["source"], r["doc_id"]): (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, capacity=128).collect()
+    }
+    assert len(got) == 60
+    for g in ("s0", "s1", "s2"):
+        toks = [(i, t) for (s, i, t) in rows if s == g]
+        toks.sort()
+        expect = _greedy([t for _, t in toks], 128)
+        for (i, _), e in zip(toks, expect):
+            assert got[(g, i)] == e
+    # invariant: no bin exceeds capacity (all docs here are < capacity)
+    fills = {}
+    for (g, i), (b, o) in got.items():
+        t = dict((x[1], x[2]) for x in rows if x[0] == g)[i]
+        fills[(g, b)] = max(fills.get((g, b), 0), o + t)
+    assert all(v <= 128 for v in fills.values())
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [("s", 0, 50), ("s", 1, 300), ("s", 2, 50)],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"]) for r in pack_sequences(df, 128).collect()}
+    assert got[0] == (0, 0)
+    assert got[1] == (1, 0)  # overflows alone
+    assert got[2] == (2, 0)
+
+
+def test_mixture_plan(spark):
+    df = spark.createDataFrame(
+        [("web", 0, 800), ("web", 1, 200), ("books", 2, 100), ("code", 3, 400)],
+        "source string, doc_id long, n_tokens long",
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(df, {"web": 0.5, "books": 0.5}, token_budget=2000).collect()
+    }
+    assert plan["web"]["domain_tokens"] == 1000
+    assert plan["web"]["target_tokens"] == 1000
+    assert plan["web"]["rate"] == pytest.approx(1.0)
+    assert plan["web"]["epochs"] == 1
+    assert plan["books"]["target_tokens"] == 1000
+    assert plan["books"]["rate"] == pytest.approx(10.0)
+    assert plan["books"]["epochs"] == 10
+    assert plan["code"]["target_tokens"] == 0 and plan["code"]["epochs"] == 0

@@ -1,0 +1,267 @@
+"""Training-data curation operators.
+
+The reference pipeline curates *claims* (trustfuse `models/`, `dataset.py`);
+a 100-TB LLM training pipeline needs the same discipline on the *document*
+side. This module adds the curation stages that sit between raw ingest and
+fusion/training: benchmark decontamination, PII scan + redaction,
+within-document repetition scoring, deterministic stratified sampling,
+greedy sequence packing, and domain-mixture planning.
+
+Scale shapes (the 100-TB contract for each operator):
+
+- ``decontaminate``: the benchmark n-gram set is a small dim (eval suites are
+  tens of MB) — broadcast hash join against the exploded corpus grams, so the
+  corpus never shuffles; the per-doc hit count is a partial (map-side
+  combined) aggregate keyed by doc id.
+- ``pii_scan`` / ``pii_redact``: pure codegen'd regexp expressions — stateless
+  map, zero shuffles.
+- ``dup_ngram_ratio``: per-row array expressions — stateless map.
+- ``stratified_sample``: hash-threshold filter — stateless map, zero
+  shuffles, deterministic under retries (the draw is a pure function of the
+  key + salt, never Rand()).
+- ``pack_sequences``: greedy packing is inherently sequential *within* a
+  shard; the operator keys on a caller-chosen shard column so parallelism =
+  number of shards while each shard packs exactly and deterministically.
+- ``mixture_plan``: one partial aggregate over the corpus + arithmetic on a
+  handful of domain rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_POLY_M31 = (1 << 31) - 1
+
+# RE2- and java.util.regex-compatible (no lookaround/backrefs) so the same
+# pattern runs on Spark and any oracle engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}",
+}
+# Redaction must run in this order: the phone pattern can match digit runs
+# inside an already-matched email/ipv4 span, never the reverse.
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined lowercase word ``n``-grams (empty when the doc
+    has fewer than ``n`` tokens)."""
+    toks = _tokens(text)
+    k = F.size(toks) - (n - 1)
+    # sequence(1, 0) would DESCEND to [1, 0]; short docs need an empty array
+    starts = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag documents that contain any benchmark ``n``-gram verbatim
+    (train/test contamination check, cf. GPT-3 §2.2 / PaLM app. sec dedup).
+
+    ``benchmark`` must expose a ``gram`` string column (space-joined
+    lowercase word n-grams of the held-out suite). Returns ``docs`` plus
+    ``n_contaminated`` (matched gram occurrences) and ``contaminated``.
+
+    Plan shape: corpus grams are exploded map-side and hit a *broadcast*
+    hash join with the benchmark set — the corpus itself never shuffles; the
+    count-per-doc aggregate partial-combines before the (tiny, hits-only)
+    exchange.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    bench = F.broadcast(benchmark.select("gram").distinct())
+    hits = grams.join(bench, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated")
+    )
+    out = docs.join(hits, id_col, "left")
+    out = out.withColumn(
+        "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+    )
+    return out.withColumn("contaminated", F.col("n_contaminated") > 0)
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count PII-shaped spans per document (``n_email`` / ``n_ipv4`` /
+    ``n_phone``) — pure regexp expressions, no UDFs."""
+    out = docs
+    for kind in PII_ORDER:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[kind]), 0)),
+        )
+    return out
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace each PII span with a typed placeholder (``<EMAIL>`` etc.),
+    applying patterns in ``PII_ORDER`` so nested digit runs can't double-fire."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def dup_ngram_ratio(text: Column, n: int = 5) -> Column:
+    """Within-document duplicate n-gram fraction: 1 - |distinct grams| /
+    |grams| (0.0 for docs shorter than ``n`` tokens). The boilerplate /
+    template-spam signal used alongside `textstats.quality_features`."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6),
+    ).otherwise(F.lit(0.0))
+
+
+def portable_uniform(key: Column, salt: int = 0) -> Column:
+    """Deterministic draw in [0, 1) from a string key: 31-bit polynomial
+    character fold (h -> (h*31 + code) % (2^31-1), seed 7 + salt) followed
+    by two Knuth-multiplicative mix rounds (h -> (h+1)*2654435761 % (2^31-1))
+    so short keys — whose raw fold only spans a tiny prefix of the range —
+    still spread over the full interval; result / (2^31-1).
+
+    Plain arithmetic, so any SQL engine can replicate it exactly (the
+    driver gate recomputes it in DuckDB with list_reduce). Interpreted-HOF
+    cost: use on bounded gate/test inputs; production sampling should pass
+    ``hash_expr=F.xxhash64(...)`` to `stratified_sample` instead.
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(key)), lambda i: F.ascii(F.substring(key, i, 1))
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(7 + salt).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % F.lit(_POLY_M31),
+    )
+    for _ in range(2):
+        h = ((h + 1) * F.lit(2654435761)) % F.lit(_POLY_M31)
+    return h.cast("double") / F.lit(float(_POLY_M31))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash draw
+    u(key, salt) < rate(stratum).
+
+    Unlike ``DataFrame.sample`` this is reproducible under retries,
+    speculative execution, and repartitioning — the draw depends only on the
+    row key, never on partition RNG state. Stateless map, zero shuffles.
+
+    ``hash_expr``: optional precomputed draw column in [0, 1); defaults to
+    the engine-portable `portable_uniform` (use ``F.xxhash64``-based draws
+    for corpus-scale runs).
+    """
+    u = hash_expr if hash_expr is not None else portable_uniform(
+        F.col(key_col).cast("string"), salt
+    )
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing: within each ``group_col``
+    shard, walk docs in ``order_col`` order keeping a running fill; a doc
+    that would overflow ``capacity`` starts the next bin (a doc longer than
+    ``capacity`` occupies a bin alone, overflowing it).
+
+    This is the standard pre-tokenization packing step for LLM training
+    (maximize context-window utilization). Packing is inherently sequential
+    *within* a shard, so the operator keys on a caller-chosen shard column:
+    parallelism = number of shards, and each shard packs exactly and
+    deterministically. Emitted ``bin_id`` is shard-local; pair it with the
+    shard key for a global id.
+
+    Returns (group, order, tokens, bin_id, bin_offset) rows.
+    """
+    sel = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.col(tokens_col).cast("long").alias("tok"),
+    )
+    schema = "grp string, ord long, tok long, bin_id long, bin_offset long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord", kind="mergesort").reset_index(drop=True)
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for tok in pdf["tok"].to_numpy():
+            if not first and fill + tok > capacity:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offs.append(fill)
+            fill += int(tok)
+            first = False
+        pdf["bin_id"] = bins
+        pdf["bin_offset"] = offs
+        return pdf
+
+    out = sel.groupBy("grp").applyInPandas(_pack, schema)
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("ord").alias(order_col),
+        F.col("tok").alias(tokens_col),
+        "bin_id",
+        "bin_offset",
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    targets: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Domain-mixture plan: given target shares per domain and a total token
+    budget, derive each domain's sampling ``rate`` (budget share / available
+    tokens) and ``epochs`` (ceil(rate) — how many passes a rate > 1 implies,
+    the "repeat small high-quality domains" knob from Chinchilla-style data
+    recipes).
+
+    One partial aggregate over the corpus, then arithmetic on a handful of
+    domain rows. Domains absent from ``targets`` get share 0.
+    """
+    share = F.lit(0.0)
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(domain_col) == value, F.lit(float(s))).otherwise(share)
+    totals = docs.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("domain_tokens")
+    )
+    out = totals.withColumn("target_tokens", F.round(share * token_budget).cast("long"))
+    rate = F.col("target_tokens") / F.col("domain_tokens")
+    return (
+        out.withColumn("rate", F.round(rate, 6))
+        .withColumn("epochs", F.ceil(rate).cast("long"))
+    )
