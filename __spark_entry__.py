@@ -1171,6 +1171,118 @@ def graph_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ego_subgraph(edges, "n0", hops=3)
 
 
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.decontaminate): the "benchmark"
+    is derived from the corpus itself — for every doc with doc_id % 37 == 0,
+    the 8-gram starting at token 3 — so both engines can re-derive it. The
+    corpus grams hit a broadcast join with the benchmark set; per-doc hit
+    counts come back as a left join (zeros included)."""
+    from trustfuse_spark.operators.curation import decontaminate, word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    bench = (
+        d.filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10))
+        .select(F.concat_ws(" ", F.slice(toks, 3, 8)).alias("gram"))
+    )
+    out = decontaminate(d, bench, n=8)
+    return out.select(
+        "doc_id", "n_contaminated", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (curation.pii_scan / pii_redact) over text with
+    deterministically planted PII: emails on doc_id % 7 == 0, IPv4 on % 11,
+    phone numbers on % 13. The redacted string itself is part of the gate,
+    so span boundaries must match the oracle regex engine exactly."""
+    from trustfuse_spark.operators.curation import pii_redact, pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" node 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit(" 4242"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", planted.alias("ptext"))
+    out = pii_scan(p, "ptext").withColumn("redacted", pii_redact(F.col("ptext")))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate n-gram ratios (curation.dup_ngram_ratio) at
+    n=3 and n=5 — the boilerplate/template-spam curation signal."""
+    from trustfuse_spark.operators.curation import dup_ngram_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        dup_ngram_ratio(F.col("text"), 3).alias("dup3"),
+        dup_ngram_ratio(F.col("text"), 5).alias("dup5"),
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling by lang
+    (curation.stratified_sample with the engine-portable draw). The oracle
+    recomputes the exact polynomial fold + two mix rounds per key, so a
+    single off-by-one in the draw or the per-stratum rate breaks the hash."""
+    from trustfuse_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.6, "de": 0.35, "fr": 0.5, "zh": 0.2}
+    out = stratified_sample(d, "lang", rates, key_col="doc_id", default_rate=0.15, salt=5)
+    return out.select("doc_id", "lang", "u")
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing (curation.pack_sequences) into
+    256-token bins per source shard, ordered by doc_id. The oracle replays
+    the sequential fold with a recursive CTE, so bin boundaries must match
+    row for row."""
+    from trustfuse_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    sel = d.select("source", "doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return pack_sequences(sel, capacity=256, group_col="source",
+                          order_col="doc_id", tokens_col="n_tokens")
+
+
+def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan (curation.mixture_plan): per-source token totals
+    vs target shares over a 50k-token budget -> sampling rate + epochs.
+    Shares are chosen so share*budget is integral (no rounding-mode parity
+    risk)."""
+    from trustfuse_spark.operators.curation import mixture_plan
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    sel = d.select("source", F.size(toks).cast("long").alias("n_tokens"))
+    targets = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
+    return mixture_plan(sel, targets, token_budget=50000, domain_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1219,6 +1331,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_units_fixed": scale_units_fixed,
         "revision_diff_events": revision_diff_events,
         "graph_ego": graph_ego,
+        "decontaminate_docs": decontaminate_docs,
+        "pii_scan_docs": pii_scan_docs,
+        "doc_repetition": doc_repetition,
+        "stratified_sample_docs": stratified_sample_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "mixture_plan_docs": mixture_plan_docs,
     }
 
 
@@ -2273,5 +2391,170 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM h3)
             SELECT src, dst, pred, MIN(hop) AS hop
             FROM u GROUP BY src, dst, pred
+        """,
+        # Benchmark decontamination: re-derive the benchmark 8-gram set
+        # (docs with doc_id % 37 == 0, gram at token offset 3) and count
+        # matching grams per doc — same tokenization as the Spark side.
+        "decontaminate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT array_to_string(t[3:10], ' ') AS gram
+              FROM toks WHERE doc_id % 37 = 0 AND len(t) >= 10),
+            grams AS (
+              SELECT doc_id, u.gram
+              FROM (SELECT doc_id,
+                           list_transform(generate_series(1, len(t) - 7),
+                                          i -> array_to_string(t[i:i+7], ' ')) AS gs
+                    FROM toks WHERE len(t) >= 8), UNNEST(gs) AS u(gram)),
+            hits AS (
+              SELECT g.doc_id, COUNT(*) AS n
+              FROM grams g JOIN bench b USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated,
+                   CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # PII scan + redaction over deterministically planted spans; the
+        # redacted string is compared verbatim, so regex span semantics
+        # (RE2 here, java.util.regex on Spark) must agree on every doc.
+        "pii_scan_docs": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+                               || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                          THEN ' call +1 555 01'
+                               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                               || ' 4242' ELSE '' END AS ptext
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(ptext,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(ptext,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(ptext,
+                       '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(ptext,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IPV4>', 'g'),
+                     '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}',
+                     '<PHONE>', 'g') AS redacted
+            FROM p
+        """,
+        # Within-doc duplicate n-gram ratio at n=3 and n=5.
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [] END AS g3,
+                     CASE WHEN len(t) >= 5 THEN
+                       list_transform(generate_series(1, len(t) - 4),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [] END AS g5
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN len(g3) > 0 THEN
+                     ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                   ELSE 0.0 END AS dup3,
+                   CASE WHEN len(g5) > 0 THEN
+                     ROUND(1.0 - len(list_distinct(g5)) * 1.0 / len(g5), 6)
+                   ELSE 0.0 END AS dup5
+            FROM g
+        """,
+        # Deterministic stratified sampling: the draw is the 31-bit
+        # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)
+        # plus two Knuth mix rounds, divided by 2^31-1; filter on the SAME
+        # rounded u the Spark side filters on.
+        "stratified_sample_docs": r"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     list_reduce(
+                       list_prepend(CAST(12 AS BIGINT), list_transform(
+                         generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                         i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR),
+                                                     i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h0
+              FROM documents),
+            m AS (
+              SELECT doc_id, lang,
+                     ((((h0 + 1) * 2654435761) % 2147483647 + 1)
+                      * 2654435761) % 2147483647 AS hm
+              FROM h),
+            u AS (
+              SELECT doc_id, lang,
+                     ROUND(hm / 2147483647.0, 6) AS u
+              FROM m)
+            SELECT doc_id, lang, u FROM u
+            WHERE u < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35
+                                WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.2
+                                ELSE 0.15 END
+        """,
+        # Greedy first-fit packing replayed as a sequential recursive-CTE
+        # fold per source shard (docs in doc_id order, capacity 256).
+        "pack_sequences_docs": r"""
+            WITH RECURSIVE docs2 AS (
+              SELECT source, doc_id,
+                     len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x != '')) AS tok,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            pack AS (
+              SELECT source, doc_id, tok, rn,
+                     CAST(0 AS BIGINT) AS bin_id, tok AS fill
+              FROM docs2 WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.tok, d.rn,
+                     CASE WHEN p.fill + d.tok > 256 THEN p.bin_id + 1
+                          ELSE p.bin_id END,
+                     CASE WHEN p.fill + d.tok > 256 THEN d.tok
+                          ELSE p.fill + d.tok END
+              FROM pack p JOIN docs2 d
+                ON d.source = p.source AND d.rn = p.rn + 1)
+            SELECT source, doc_id, tok AS n_tokens, bin_id,
+                   fill - tok AS bin_offset
+            FROM pack
+        """,
+        # Domain-mixture plan: token totals per source vs integral target
+        # shares of a 50k budget.
+        "mixture_plan_docs": r"""
+            WITH t AS (
+              SELECT source,
+                     SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x != ''))) AS domain_tokens
+              FROM documents GROUP BY source),
+            s AS (
+              SELECT source, CAST(domain_tokens AS BIGINT) AS domain_tokens,
+                     CAST(ROUND(CASE source WHEN 'src0' THEN 0.3
+                                            WHEN 'src1' THEN 0.2
+                                            WHEN 'src2' THEN 0.1
+                                            ELSE 0.0 END * 50000) AS BIGINT)
+                       AS target_tokens
+              FROM t)
+            SELECT source, domain_tokens, target_tokens,
+                   ROUND(target_tokens * 1.0 / domain_tokens, 6) AS rate,
+                   CAST(CEIL(target_tokens * 1.0 / domain_tokens) AS BIGINT)
+                     AS epochs
+            FROM s
         """,
     }
