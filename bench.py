@@ -64,6 +64,36 @@ def main() -> None:
     pipeline_sec = round(time.perf_counter() - t0, 3)
     timings["kg_pipeline_crh"] = pipeline_sec
 
+    # Corpus-curation pipeline over the same docs: exact dedup -> quality
+    # filter -> benchmark decontamination -> hash sample -> sequence packing
+    # (plans/curate.py; all stages individually value-gated). Text/source are
+    # derived from the cached span docs; the sample draw is the xxhash64
+    # scale path, the benchmark a ~0.5% corpus sample's 8-gram prefixes.
+    from pyspark.sql import functions as F
+
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    corpus = docs.select(
+        "doc_id",
+        F.substring("doc_id", 9, 4).alias("source"),
+        F.concat_ws(" ", F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+            lambda s: s["text"])).alias("text"),
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    bench_grams = corpus.filter(F.pmod(F.xxhash64("doc_id"), F.lit(211)) == 0).select(
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("gram")
+    )
+    draw = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(1000000)) / 1000000.0
+    t0 = time.perf_counter()
+    packed = curate_corpus(
+        corpus, benchmark=bench_grams, min_quality=0.2, default_rate=0.9,
+        sample_hash=draw, capacity=2048,
+    )
+    n_packed = packed.count()
+    curation_sec = round(time.perf_counter() - t0, 3)
+    timings["curation_pipeline"] = curation_sec
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_wall_sec",
@@ -74,6 +104,8 @@ def main() -> None:
         "n_docs": n_docs,
         "n_triples": n_triples,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "n_packed": n_packed,
+        "curation_docs_per_sec": round(n_docs / curation_sec, 1) if curation_sec else None,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
     }
     print(json.dumps(out))

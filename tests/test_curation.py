@@ -183,3 +183,53 @@ def test_mixture_plan(spark):
     assert plan["books"]["rate"] == pytest.approx(10.0)
     assert plan["books"]["epochs"] == 10
     assert plan["code"]["target_tokens"] == 0 and plan["code"]["epochs"] == 0
+
+
+def test_curate_corpus_end_to_end(spark):
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and then the dog sleeps"
+    rows = [
+        (0, good + " one", "web"),
+        (1, good + " one", "web"),       # exact dup of 0 -> dropped
+        (2, good + " two", "web"),
+        (3, "??!! ,,,, ;;;; !!!! ????", "web"),  # punct junk -> quality drop
+        (4, good + " three with secret eval gram here today", "books"),
+        (5, good + " four", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame([("secret eval gram",)], "gram string")
+    out = curate_corpus(
+        docs, benchmark=bench, bench_ngram=3, stratum_col="source",
+        shard_col="source", min_quality=0.25, capacity=32, default_rate=1.0,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {0, 2, 5}  # 1 dup, 3 junk, 4 contaminated
+    # packing invariant within each shard
+    for r in got.values():
+        assert r["bin_offset"] + r["n_tokens"] <= 32 or r["bin_offset"] == 0
+
+
+def test_curate_corpus_drop_ids_and_sampling(spark):
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and then it sleeps v"
+    docs = spark.createDataFrame(
+        [(i, f"{base}{i}", "web") for i in range(400)],
+        "doc_id long, text string, source string",
+    )
+    drop = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    out = curate_corpus(
+        docs, drop_ids=drop, rates={"web": 0.5}, salt=2, capacity=64,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 7 not in ids and 9 not in ids
+    assert 100 < len(ids) < 300  # ~50% kept
+    # string ids work too (schema is inferred)
+    sdocs = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text", "source",
+    )
+    sout = curate_corpus(sdocs, capacity=64)
+    assert sout.count() == 400
+    assert dict(sout.dtypes)["doc_id"] == "string"

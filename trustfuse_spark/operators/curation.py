@@ -208,7 +208,9 @@ def pack_sequences(
         F.col(order_col).alias("ord"),
         F.col(tokens_col).cast("long").alias("tok"),
     )
-    schema = "grp string, ord long, tok long, bin_id long, bin_offset long"
+    grp_t = sel.schema["grp"].dataType.simpleString()
+    ord_t = sel.schema["ord"].dataType.simpleString()
+    schema = f"grp {grp_t}, ord {ord_t}, tok long, bin_id long, bin_offset long"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ord", kind="mergesort").reset_index(drop=True)
