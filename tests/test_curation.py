@@ -233,3 +233,34 @@ def test_curate_corpus_drop_ids_and_sampling(spark):
     sout = curate_corpus(sdocs, capacity=64)
     assert sout.count() == 400
     assert dict(sout.dtypes)["doc_id"] == "string"
+
+
+def test_neardup_drop_ids_transitive(spark):
+    from trustfuse_spark.operators.dedup import neardup_drop_ids
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = sorted(r["drop_id"] for r in neardup_drop_ids(pairs).collect())
+    assert got == [2, 3, 11]  # keep 1 and 10 (cluster minima)
+
+
+def test_neardup_drop_ids_end_to_end_with_curate(spark):
+    from trustfuse_spark.operators.dedup import near_duplicates_minhash, neardup_drop_ids
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm mat and the bird sings a long morning song today"
+    )
+    rows = [(i, f"{base} variant {i}", "web") for i in range(6)]
+    # 3 near-clones of doc 0 (one token differs) + distinct docs
+    rows += [(10 + j, base + f" variant 0 extra{j}", "web") for j in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = near_duplicates_minhash(docs, "doc_id", "text", threshold=0.7)
+    drop = neardup_drop_ids(pairs)
+    dropped = {r["drop_id"] for r in drop.collect()}
+    assert dropped and min({0, 10, 11} - dropped) == 0  # representative kept
+    out_ids = {r["doc_id"] for r in curate_corpus(docs, drop_ids=drop, capacity=256).collect()}
+    assert dropped.isdisjoint(out_ids)
+    assert 0 in out_ids

@@ -490,3 +490,28 @@ def embedding_near_dups(
     return cand.select(
         "id_a", "id_b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def neardup_drop_ids(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt_hubs: bool = False,
+) -> DataFrame:
+    """Near-dup pairs -> drop list: connected components over the pair graph
+    (transitive closure — A~B, B~C puts A,C in one cluster even if the LSH
+    never emitted the A-C pair), keep each cluster's minimum id, emit every
+    other member as one-column ``drop_id``.
+
+    Feed the output of `near_duplicates_minhash` / `simhash_near_dups` /
+    `embedding_near_dups` in, hand the result to
+    `plans.curate.curate_corpus(drop_ids=...)`. CC is the large-star /
+    small-star loop (operators/cc.py), so a viral doc with millions of
+    near-dups is handled by ``salt_hubs`` rather than a driver-side union-
+    find."""
+    from trustfuse_spark.operators.cc import connected_components
+
+    comp = connected_components(pairs, src=id_a, dst=id_b, salt_hubs=salt_hubs)
+    return comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("drop_id")
+    )
