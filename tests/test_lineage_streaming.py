@@ -326,3 +326,60 @@ def test_stream_claims_ingest_exactly_once(spark, tmp_path):
     # restart with nothing new: the file-source log must yield zero rows
     assert run_claims_ingest(spark, in_dir, out_dir, ckpt).awaitTermination(180)
     assert drained(spark.read.parquet(out_dir)) == got2
+
+
+def test_stream_curated_docs_exactly_once(spark, tmp_path):
+    """Streaming curation prefix: PII redaction + quality filter + dedup-
+    within-watermark, exactly-once across staged drops on one checkpoint."""
+    import datetime as dt
+
+    from trustfuse_spark.streaming.curate import run_curated_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "and the bird is singing a long morning song near the old barn"
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, text string, source string, ts timestamp"
+        )
+
+    in_dir = str(tmp_path / "raw_in")
+    out_dir = str(tmp_path / "curated_out")
+    ckpt = str(tmp_path / "ckpt_cur")
+
+    # drop 1: a normal doc, a PII doc, a dup of the normal doc (same batch,
+    # inside the watermark horizon), and punctuation junk
+    mk([
+        ("a", base + " one", "web", t0),
+        ("b", base + " two mail me at bob@corp.example.org now", "web", t0),
+        ("a2", base + " one", "web", t0 + dt.timedelta(minutes=5)),
+        ("junk", "??!! ,,,, ;;;; !!!!", "web", t0),
+    ]).write.mode("append").parquet(in_dir)
+    assert run_curated_ingest(
+        spark, in_dir, out_dir, ckpt, min_quality=0.25
+    ).awaitTermination(180)
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    # exactly ONE of the two identical docs survives (which one is batch
+    # arrival order, not part of the contract); junk is quality-dropped
+    kept_dup = set(got1) & {"a", "a2"}
+    assert len(kept_dup) == 1 and set(got1) == kept_dup | {"b"}
+    assert "bob@corp.example.org" not in got1["b"]["text"]
+    assert "<EMAIL>" in got1["b"]["text"]
+
+    # drop 2: same checkpoint resumes; only the new file is processed
+    mk([("c", base + " three", "web", t0 + dt.timedelta(minutes=10))]
+       ).write.mode("append").parquet(in_dir)
+    assert run_curated_ingest(
+        spark, in_dir, out_dir, ckpt, min_quality=0.25
+    ).awaitTermination(180)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == kept_dup | {"b", "c"}
+
+    # re-trigger with nothing new appends nothing
+    assert run_curated_ingest(
+        spark, in_dir, out_dir, ckpt, min_quality=0.25
+    ).awaitTermination(180)
+    assert spark.read.parquet(out_dir).count() == 3
