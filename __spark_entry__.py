@@ -1283,6 +1283,21 @@ def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_plan(sel, targets, token_budget=50000, domain_col="source")
 
 
+def apply_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization (curation.apply_mixture): docs from three
+    source domains are repeated floor(rate) times plus a deterministic
+    hash-selected fraction once more (rate 2.4 -> 2 copies + 40% get a 3rd).
+    The oracle recomputes the per-doc draw and unrolls the copies with
+    generate_series, so epoch counts must match doc for doc."""
+    from trustfuse_spark.operators.curation import apply_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    plan = spark.createDataFrame(
+        [("src0", 2.4), ("src1", 1.0), ("src2", 0.5)], "source string, rate double"
+    )
+    return apply_mixture(d, plan, salt=9).select("doc_id", "source", "epoch")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1337,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "mixture_plan_docs": mixture_plan_docs,
+        "apply_mixture_docs": apply_mixture_docs,
     }
 
 
@@ -2556,5 +2572,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CEIL(target_tokens * 1.0 / domain_tokens) AS BIGINT)
                      AS epochs
             FROM s
+        """,
+        # Mixture materialization: per-doc draw (same polyhash + 2 mix
+        # rounds, salt 9) decides the fractional extra epoch; copies
+        # unrolled via generate_series.
+        "apply_mixture_docs": r"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     list_reduce(
+                       list_prepend(CAST(16 AS BIGINT), list_transform(
+                         generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                         i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR),
+                                                     i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h0
+              FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+            m AS (
+              SELECT doc_id, source,
+                     ROUND(((((h0 + 1) * 2654435761) % 2147483647 + 1)
+                            * 2654435761) % 2147483647 / 2147483647.0, 6) AS u,
+                     CASE source WHEN 'src0' THEN 2.4 WHEN 'src1' THEN 1.0
+                                 ELSE 0.5 END AS rate
+              FROM h),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate)
+                                             THEN 1 ELSE 0 END AS INT) AS nc
+              FROM m)
+            SELECT doc_id, source, u.epoch
+            FROM n, UNNEST(generate_series(1, nc)) AS u(epoch)
         """,
     }

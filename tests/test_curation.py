@@ -264,3 +264,49 @@ def test_neardup_drop_ids_end_to_end_with_curate(spark):
     out_ids = {r["doc_id"] for r in curate_corpus(docs, drop_ids=drop, capacity=256).collect()}
     assert dropped.isdisjoint(out_ids)
     assert 0 in out_ids
+
+
+def test_apply_mixture_epochs(spark):
+    from trustfuse_spark.operators.curation import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 100 else "books", "t") for i in range(120)],
+        "doc_id long, source string, text string",
+    )
+    plan = spark.createDataFrame(
+        [("web", 2.4), ("books", 1.0), ("code", 5.0)], "source string, rate double"
+    )
+    out = apply_mixture(docs, plan, salt=3)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_doc) == 120  # every doc kept at least once (rates >= 1)
+    web_counts = [per_doc[i] for i in range(100)]
+    assert set(web_counts) <= {2, 3}
+    frac3 = sum(1 for c in web_counts if c == 3) / 100
+    assert 0.2 < frac3 < 0.6  # ~40% get the extra epoch
+    assert all(per_doc[i] == 1 for i in range(100, 120))
+    # epochs are 1..n per doc
+    eps = sorted(
+        r["epoch"] for r in out.filter(F.col("doc_id") == 0).collect()
+    )
+    assert eps == list(range(1, per_doc[0] + 1))
+    # deterministic
+    again = {
+        r["doc_id"]: r["n"]
+        for r in apply_mixture(docs, plan, salt=3)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == per_doc
+
+
+def test_apply_mixture_sub_one_rate_drops(spark):
+    from trustfuse_spark.operators.curation import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "web", "t") for i in range(1000)], "doc_id long, source string, text string"
+    )
+    plan = spark.createDataFrame([("web", 0.3)], "source string, rate double")
+    n = apply_mixture(docs, plan, salt=1).count()
+    assert 200 < n < 400  # ~30% keep, zero epochs for the rest

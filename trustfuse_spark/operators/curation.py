@@ -267,3 +267,37 @@ def mixture_plan(
         out.withColumn("rate", F.round(rate, 6))
         .withColumn("epochs", F.ceil(rate).cast("long"))
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Materialize a `mixture_plan`: emit each doc floor(rate) times plus
+    one more copy with probability frac(rate) — the deterministic
+    realization of "repeat domain X 2.4 times": every doc appears 2 times,
+    a fixed hash-selected 40% of docs a 3rd time. Adds an ``epoch`` column
+    (1-based copy index).
+
+    ``plan`` needs (domain, rate) — a handful of rows, broadcast. The
+    fractional draw is a pure function of (key, salt) — retry-stable, like
+    `stratified_sample`; pass an ``F.xxhash64``-based ``hash_expr`` at
+    corpus scale. Row explosion is map-side (no shuffle); downstream
+    consumers see epoch as part of the training-example identity.
+    """
+    d = docs.join(
+        F.broadcast(plan.select(domain_col, "rate")), domain_col
+    )
+    u = hash_expr if hash_expr is not None else portable_uniform(
+        F.col(key_col).cast("string"), salt
+    )
+    full = F.floor("rate").cast("long")
+    n = full + F.when(F.round(u, 6) < (F.col("rate") - full), 1).otherwise(0)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return d.withColumn("epoch", F.explode(copies)).drop("rate")
