@@ -172,6 +172,10 @@ def stratified_sample(
     ``hash_expr``: optional precomputed draw column in [0, 1); defaults to
     the engine-portable `portable_uniform` (use ``F.xxhash64``-based draws
     for corpus-scale runs).
+
+    ``rates`` compiles to a CASE chain — right for the usual handful of
+    strata; with thousands of strata, broadcast-join a (stratum, rate) dim
+    and filter on the joined column instead of growing the expression tree.
     """
     u = hash_expr if hash_expr is not None else portable_uniform(
         F.col(key_col).cast("string"), salt
