@@ -68,3 +68,56 @@ def test_register_custom_model(spark):
     )
     res = ClaimsDataset.from_long(claims).fuse("constant_min")
     assert res.truth.collect()[0]["value_str"] == "a"
+
+
+def test_curate_pipeline_cli(spark, tmp_path):
+    """CLI twin for the document side: parquet in -> packed parquet out +
+    one JSON stats line."""
+    import json
+
+    from trustfuse_spark.curate_pipeline import main
+
+    # distinct docs (pseudo-random per-doc vocabulary) so only the PLANTED
+    # pairs collide — words like "tok{i}q{j}z" are NOT distinct enough at
+    # the char-3-shingle level (measured J=0.94 between doc 2 and doc 22)
+    def word(i, j):
+        v = (i * 1000003 + j * 7919) % (26 ** 4)
+        s = ""
+        for _ in range(4):
+            s += chr(97 + v % 26)
+            v //= 26
+        return s
+
+    def doc(i):
+        uniq = " ".join(word(i, j) for j in range(20))
+        return f"the document number {i} is about {uniq} and the end"
+
+    rows = [(i, doc(i), "web" if i % 2 else "books") for i in range(40)]
+    rows.append((100, doc(0), "web"))                        # exact dup of 0
+    rows.append((101, doc(1).replace(word(1, 3), word(1, 3) + "x"), "web"))  # near dup of 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "packed")
+    docs.write.parquet(in_dir)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "--docs", in_dir, "--out", out_dir, "--capacity", "256",
+            "--rates", '{"web": 1.0, "books": 1.0}',
+            "--neardup-threshold", "0.9",
+        ])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_docs_in"] == 42
+    assert stats["n_neardup_dropped"] >= 1  # the planted near-dup clusters
+    packed = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in packed.collect()}
+    assert len({0, 100} & ids) <= 1  # exact dup collapsed
+    assert len({1, 101} & ids) <= 1  # near dup collapsed
+    assert stats["n_docs_packed"] == packed.count() == len(ids)
+    assert 38 <= len(ids) <= 40
+    assert stats["n_bins"] >= 2

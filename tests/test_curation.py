@@ -310,3 +310,40 @@ def test_apply_mixture_sub_one_rate_drops(spark):
     plan = spark.createDataFrame([("web", 0.3)], "source string, rate double")
     n = apply_mixture(docs, plan, salt=1).count()
     assert 200 < n < 400  # ~30% keep, zero epochs for the rest
+
+
+def test_pack_sequences_property_fold_matches_naive(spark):
+    """Property: the distributed packing equals the naive sequential replay
+    for random token sizes, including oversized docs and capacity ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    runs = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=30),
+        st.integers(min_value=20, max_value=80),
+    )
+    def check(toks, cap):
+        runs.append((toks, cap))
+
+    check()
+    # one Spark job over all hypothesis-drawn cases (one group per case)
+    rows = [
+        (f"c{ci}", i, t) for ci, (toks, _) in enumerate(runs) for i, t in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    by_cap = {}
+    for ci, (toks, cap) in enumerate(runs):
+        by_cap.setdefault(cap, []).append(ci)
+    for cap, cis in by_cap.items():
+        sub = df.filter(F.col("source").isin([f"c{ci}" for ci in cis]))
+        got = {
+            (r["source"], r["doc_id"]): (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(sub, capacity=cap).collect()
+        }
+        for ci in cis:
+            toks = runs[ci][0]
+            for i, e in enumerate(_greedy(toks, cap)):
+                assert got[(f"c{ci}", i)] == e, (ci, cap, toks)
