@@ -1298,6 +1298,37 @@ def apply_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_mixture(d, plan, salt=9).select("doc_id", "source", "epoch")
 
 
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation chain (plans/curate.curate_corpus): exact dedup
+    -> quality filter (full quality_features score re-derived in SQL) ->
+    benchmark decontamination (the %37 gram set) -> stratified sampling by
+    lang (portable draw, salt 5) -> greedy packing per source at capacity
+    256. The oracle replays every stage, so a break anywhere in the chain —
+    wrong dedup representative, a 1-off in the score formula, a dropped
+    filter, wrong pack order — shifts bins and breaks the hash."""
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    bench = (
+        d.filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10))
+        .select(F.concat_ws(" ", F.slice(toks, 3, 8)).alias("gram"))
+    )
+    out = curate_corpus(
+        d,
+        stratum_col="lang",
+        shard_col="source",
+        benchmark=bench,
+        bench_ngram=8,
+        min_quality=0.25,
+        rates={"en": 0.6, "de": 0.35, "fr": 0.5, "zh": 0.2},
+        default_rate=0.15,
+        salt=5,
+        capacity=256,
+    )
+    return out.select("source", "doc_id", "n_tokens", "bin_id", "bin_offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1353,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "mixture_plan_docs": mixture_plan_docs,
         "apply_mixture_docs": apply_mixture_docs,
+        "curate_corpus_docs": curate_corpus_docs,
     }
 
 
@@ -2600,5 +2632,98 @@ def oracle_sql() -> dict[str, str]:
               FROM m)
             SELECT doc_id, source, u.epoch
             FROM n, UNNEST(generate_series(1, nc)) AS u(epoch)
+        """,
+        # Full curation-chain replay: dedup (min doc_id per text) -> the
+        # complete quality_features score -> decontamination -> portable
+        # stratified draw -> recursive-CTE greedy packing. Every stage's
+        # SQL piece mirrors its standalone gate.
+        "curate_corpus_docs": r"""
+            WITH RECURSIVE toksr AS (
+              SELECT doc_id, lang, source, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x != '') AS tr,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS tl
+              FROM documents),
+            dedup AS (
+              SELECT * FROM toksr
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)),
+            q AS (
+              SELECT *,
+                     length(text) AS n_chars,
+                     len(tr) AS n_tokens,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(list_filter(tr, x -> list_contains(
+                       ['a','and','das','der','des','die','ein','el','es',
+                        'est','et','is','ist','la','le','les','los','of',
+                        'que','the','to','una','und'], lower(x)))) AS n_stop,
+                     len(list_distinct(tr)) AS n_distinct
+              FROM dedup),
+            q2 AS (
+              SELECT *,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
+                          ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN n_tokens > 0 THEN 1.0 - n_distinct / n_tokens
+                          ELSE 0.0 END AS rep_ratio
+              FROM q),
+            keepq AS (
+              SELECT * FROM q2
+              WHERE ROUND(
+                      LEAST(n_tokens / 64.0, 1.0) * 0.3
+                    + LEAST(stop_ratio * 4.0, 1.0) * 0.3
+                    + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.2
+                    + (1.0 - rep_ratio) * 0.2, 6) >= 0.25),
+            bench AS (
+              SELECT DISTINCT array_to_string(tl[3:10], ' ') AS gram
+              FROM toksr WHERE doc_id % 37 = 0 AND len(tl) >= 10),
+            grams AS (
+              SELECT doc_id, u.gram
+              FROM (SELECT doc_id,
+                           list_transform(generate_series(1, len(tl) - 7),
+                                          i -> array_to_string(tl[i:i+7], ' ')) AS gs
+                    FROM keepq WHERE len(tl) >= 8), UNNEST(gs) AS u(gram)),
+            contam AS (
+              SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)),
+            decon AS (
+              SELECT k.* FROM keepq k LEFT JOIN contam c USING (doc_id)
+              WHERE c.doc_id IS NULL),
+            h AS (
+              SELECT *, list_reduce(
+                       list_prepend(CAST(12 AS BIGINT), list_transform(
+                         generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                         i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR),
+                                                     i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h0
+              FROM decon),
+            kept AS (
+              SELECT source, doc_id, len(tl) AS tok
+              FROM (SELECT *, ROUND(((((h0 + 1) * 2654435761) % 2147483647
+                                      + 1) * 2654435761) % 2147483647
+                                    / 2147483647.0, 6) AS u FROM h)
+              WHERE u < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35
+                                  WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.2
+                                  ELSE 0.15 END),
+            docs2 AS (
+              SELECT source, doc_id, tok,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM kept),
+            pack AS (
+              SELECT source, doc_id, tok, rn,
+                     CAST(0 AS BIGINT) AS bin_id, tok AS fill
+              FROM docs2 WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.tok, d.rn,
+                     CASE WHEN p.fill + d.tok > 256 THEN p.bin_id + 1
+                          ELSE p.bin_id END,
+                     CASE WHEN p.fill + d.tok > 256 THEN d.tok
+                          ELSE p.fill + d.tok END
+              FROM pack p JOIN docs2 d
+                ON d.source = p.source AND d.rn = p.rn + 1)
+            SELECT source, doc_id, tok AS n_tokens, bin_id,
+                   fill - tok AS bin_offset
+            FROM pack
         """,
     }
