@@ -350,16 +350,23 @@ def test_stream_curated_docs_exactly_once(spark, tmp_path):
     out_dir = str(tmp_path / "curated_out")
     ckpt = str(tmp_path / "ckpt_cur")
 
+    bench = spark.createDataFrame(
+        [("secret held out eval",)], "gram string"
+    )
+
     # drop 1: a normal doc, a PII doc, a dup of the normal doc (same batch,
-    # inside the watermark horizon), and punctuation junk
+    # inside the watermark horizon), punctuation junk, and a doc containing
+    # a benchmark n-gram
     mk([
         ("a", base + " one", "web", t0),
         ("b", base + " two mail me at bob@corp.example.org now", "web", t0),
         ("a2", base + " one", "web", t0 + dt.timedelta(minutes=5)),
         ("junk", "??!! ,,,, ;;;; !!!!", "web", t0),
+        ("leak", base + " with the secret held out eval phrase", "web", t0),
     ]).write.mode("append").parquet(in_dir)
     assert run_curated_ingest(
-        spark, in_dir, out_dir, ckpt, min_quality=0.25
+        spark, in_dir, out_dir, ckpt, min_quality=0.25,
+        benchmark=bench, bench_ngram=4,
     ).awaitTermination(180)
     got1 = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
     # exactly ONE of the two identical docs survives (which one is batch
@@ -373,13 +380,15 @@ def test_stream_curated_docs_exactly_once(spark, tmp_path):
     mk([("c", base + " three", "web", t0 + dt.timedelta(minutes=10))]
        ).write.mode("append").parquet(in_dir)
     assert run_curated_ingest(
-        spark, in_dir, out_dir, ckpt, min_quality=0.25
+        spark, in_dir, out_dir, ckpt, min_quality=0.25,
+        benchmark=bench, bench_ngram=4,
     ).awaitTermination(180)
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got2 == kept_dup | {"b", "c"}
 
     # re-trigger with nothing new appends nothing
     assert run_curated_ingest(
-        spark, in_dir, out_dir, ckpt, min_quality=0.25
+        spark, in_dir, out_dir, ckpt, min_quality=0.25,
+        benchmark=bench, bench_ngram=4,
     ).awaitTermination(180)
     assert spark.read.parquet(out_dir).count() == 3

@@ -49,11 +49,21 @@ def stream_curated_docs(
     docs_dir: str,
     min_quality: float = 0.2,
     dedup_watermark: str = "1 hour",
+    benchmark: DataFrame | None = None,
+    bench_ngram: int = 8,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming curation prefix: redact -> score -> filter -> dedup-within-
-    watermark. Output columns: doc_id, source, ts, text (redacted),
-    quality_score.
+    """Streaming curation prefix: redact -> score -> filter ->
+    [decontaminate] -> dedup-within-watermark. Output columns: doc_id,
+    source, ts, text (redacted), quality_score.
+
+    ``benchmark`` (static DataFrame with a ``gram`` column) drops
+    contaminated docs. The batch `decontaminate` re-aggregates per doc —
+    not expressible in append mode — so the stream uses the row-local
+    equivalent: ``arrays_overlap`` between the doc's n-grams and the
+    benchmark set materialized as one literal array (eval suites are
+    bounded; the literal ships once with the plan). Same keep/drop
+    decision as batch, no per-doc match counts.
 
     Dedup keys on xxhash64(redacted text) — 8 bytes of state per distinct
     doc within the horizon instead of the text itself (the batch hash-first
@@ -68,6 +78,16 @@ def stream_curated_docs(
     scored = quality_features(red, "text").filter(
         F.col("quality_score") >= min_quality
     )
+    if benchmark is not None:
+        from trustfuse_spark.operators.curation import word_ngrams
+
+        grams = [r["gram"] for r in benchmark.select("gram").distinct().collect()]
+        if grams:
+            scored = scored.filter(
+                ~F.arrays_overlap(
+                    word_ngrams(F.col("text"), bench_ngram), F.lit(grams)
+                )
+            )
     keyed = scored.select(
         "doc_id", "source", "ts", "text", "quality_score",
         F.xxhash64("text").alias("text_h"),
@@ -82,12 +102,16 @@ def run_curated_ingest(
     checkpoint_dir: str,
     min_quality: float = 0.2,
     dedup_watermark: str = "1 hour",
+    benchmark: DataFrame | None = None,
+    bench_ngram: int = 8,
     available_now: bool = True,
 ):
     """Run (or resume) the streaming curation prefix against a checkpoint.
     Returns the StreamingQuery (availableNow drains-and-stops)."""
     curated = stream_curated_docs(
-        spark, docs_dir, min_quality=min_quality, dedup_watermark=dedup_watermark
+        spark, docs_dir, min_quality=min_quality,
+        dedup_watermark=dedup_watermark, benchmark=benchmark,
+        bench_ngram=bench_ngram,
     )
     writer = (
         curated.writeStream.format("parquet")
