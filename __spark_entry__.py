@@ -1329,6 +1329,24 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_tokens", "bin_id", "bin_offset")
 
 
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + BPE-ish token count (textstats.lang_id /
+    token_count_bpe vs the SURVEY training-data ops list). lang_id is an
+    argmax over per-language stopword-marker hits via max(struct(hits,
+    lang)) — ties resolve to the lexicographically LARGEST language code,
+    which the oracle replays as a descending CASE chain; zero hits ->
+    'und'."""
+    from trustfuse_spark.operators.textstats import lang_id, token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1385,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan_docs": mixture_plan_docs,
         "apply_mixture_docs": apply_mixture_docs,
         "curate_corpus_docs": curate_corpus_docs,
+        "lang_id_docs": lang_id_docs,
     }
 
 
@@ -2725,5 +2744,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, tok AS n_tokens, bin_id,
                    fill - tok AS bin_offset
             FROM pack
+        """,
+        # lang_id: per-language stopword-marker hit counts; argmax with
+        # ties to the lexicographically largest code (fr > es > en > de),
+        # zero hits -> 'und'. BPE-ish token count via the same regex.
+        "lang_id_docs": r"""
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS tl
+              FROM documents),
+            hits AS (
+              SELECT doc_id, lang, text,
+                     len(list_filter(tl, x -> list_contains(
+                       ['the','and','of','to','a','is'], x))) AS h_en,
+                     len(list_filter(tl, x -> list_contains(
+                       ['der','die','und','das','ist','ein'], x))) AS h_de,
+                     len(list_filter(tl, x -> list_contains(
+                       ['le','la','et','les','des','est'], x))) AS h_fr,
+                     len(list_filter(tl, x -> list_contains(
+                       ['el','la','los','que','es','una'], x))) AS h_es
+              FROM t)
+            SELECT doc_id, lang,
+                   CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+                        WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tokens_bpe
+            FROM hits
         """,
     }
