@@ -1177,7 +1177,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8-gram starting at token 3 — so both engines can re-derive it. The
     corpus grams hit a broadcast join with the benchmark set; per-doc hit
     counts come back as a left join (zeros included)."""
-    from trustfuse_spark.operators.curation import decontaminate, word_ngrams
+    from trustfuse_spark.operators.curation import decontaminate
 
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")

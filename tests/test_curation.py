@@ -347,3 +347,46 @@ def test_pack_sequences_property_fold_matches_naive(spark):
             toks = runs[ci][0]
             for i, e in enumerate(_greedy(toks, cap)):
                 assert got[(f"c{ci}", i)] == e, (ci, cap, toks)
+
+
+def test_portable_uniform_empty_key_matches_seed(spark):
+    """'' must fold to the bare seed + mix rounds (sequence(1,0) would
+    otherwise descend and consume two phantom ascii('')=0 codes)."""
+    df = spark.createDataFrame([("",), ("x",)], "k string")
+    out = {r["k"]: r["u"] for r in df.select(
+        "k", portable_uniform(F.col("k"), salt=5).alias("u")).collect()}
+    m = (1 << 31) - 1
+    h = 12
+    for _ in range(2):
+        h = ((h + 1) * 2654435761) % m
+    assert out[""] == pytest.approx(h / m, abs=1e-12)
+
+
+def test_pack_sequences_deterministic_under_order_ties(spark):
+    """Duplicate order keys must not make packing shuffle-order-dependent:
+    (ord, tok) is the effective sort key."""
+    rows = [("s", 5, 30), ("s", 5, 90), ("s", 5, 60), ("s", 9, 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    # capacity 128, tok order (30, 60, 90, 10): 30+60 fit bin 0, 90 opens
+    # bin 1 (fill 90), 10 joins it at offset 90
+    expect = {(5, 30): (0, 0), (5, 60): (0, 30), (5, 90): (1, 0),
+              (9, 10): (1, 90)}
+    for _ in range(3):
+        got = {
+            (r["doc_id"], r["n_tokens"]): (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df.repartition(4), capacity=128).collect()
+        }
+        assert got == expect
+
+
+def test_curate_corpus_null_text_dropped(spark):
+    from trustfuse_spark.plans.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and then the dog sleeps"
+    docs = spark.createDataFrame(
+        [(0, good, "web"), (1, None, "web")],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(docs, capacity=64).collect()
+    assert {r["doc_id"] for r in out} == {0}
+    assert all(r["n_tokens"] > 0 for r in out)

@@ -140,9 +140,12 @@ def portable_uniform(key: Column, salt: int = 0) -> Column:
     cost: use on bounded gate/test inputs; production sampling should pass
     ``hash_expr=F.xxhash64(...)`` to `stratified_sample` instead.
     """
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(key)), lambda i: F.ascii(F.substring(key, i, 1))
-    )
+    # sequence(1, 0) DESCENDS for the empty key — guard so '' folds to the
+    # bare seed, matching the manual/oracle definition exactly
+    idx = F.when(
+        F.length(key) >= 1, F.sequence(F.lit(1), F.length(key))
+    ).otherwise(F.array().cast("array<int>"))
+    codes = F.transform(idx, lambda i: F.ascii(F.substring(key, i, 1)))
     h = F.aggregate(
         codes,
         F.lit(7 + salt).cast("long"),
@@ -176,6 +179,9 @@ def stratified_sample(
     ``rates`` compiles to a CASE chain — right for the usual handful of
     strata; with thousands of strata, broadcast-join a (stratum, rate) dim
     and filter on the joined column instead of growing the expression tree.
+
+    The draw is exposed as a ``u`` column on the output (gates hash it);
+    a pre-existing ``u`` column on the input is overwritten.
     """
     u = hash_expr if hash_expr is not None else portable_uniform(
         F.col(key_col).cast("string"), salt
@@ -217,7 +223,10 @@ def pack_sequences(
     schema = f"grp {grp_t}, ord {ord_t}, tok long, bin_id long, bin_offset long"
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ord", kind="mergesort").reset_index(drop=True)
+        # secondary key: with duplicate order values, arrival order is
+        # shuffle-dependent — (ord, tok) makes the output a pure function
+        # of the data (rows tying on BOTH keys are interchangeable)
+        pdf = pdf.sort_values(["ord", "tok"], kind="mergesort").reset_index(drop=True)
         bins, offs = [], []
         bin_id, fill = 0, 0
         first = True

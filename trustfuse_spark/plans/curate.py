@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from trustfuse_spark.operators.curation import (
+    _tokens,
     decontaminate,
     pack_sequences,
     stratified_sample,
@@ -58,6 +59,11 @@ def curate_corpus(
     pass an ``F.xxhash64``-based draw at corpus scale (the default
     portable draw is interpreted-HOF, gate/test-scale only).
     """
+    # 0. NULL text never reaches scoring/packing: a null doc would pass the
+    # quality filter (ratios default to 0 -> score ~0.39) and then
+    # F.size(split(NULL)) = -1 would DECREASE the packing fill
+    docs = docs.filter(F.col(text_col).isNotNull())
+
     # 1. exact dedup: keep only each text's representative doc
     reps = exact_duplicates(docs, id_col, text_col).select(
         F.col("rep_id").alias(id_col)
@@ -96,7 +102,7 @@ def curate_corpus(
         )
 
     # 5. pack into training sequences per shard
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = _tokens(F.col(text_col))
     sized = out.select(shard_col, id_col, F.size(toks).cast("long").alias("n_tokens"))
     return pack_sequences(
         sized, capacity, group_col=shard_col, order_col=id_col,

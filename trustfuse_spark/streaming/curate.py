@@ -81,7 +81,14 @@ def stream_curated_docs(
     if benchmark is not None:
         from trustfuse_spark.operators.curation import word_ngrams
 
-        grams = [r["gram"] for r in benchmark.select("gram").distinct().collect()]
+        # drop NULL grams: a single null element in the literal makes
+        # arrays_overlap return NULL (not false) for every clean doc, and
+        # filter(~NULL) would silently discard the whole stream
+        grams = [
+            r["gram"]
+            for r in benchmark.select("gram").distinct().collect()
+            if r["gram"] is not None
+        ]
         if grams:
             scored = scored.filter(
                 ~F.arrays_overlap(
