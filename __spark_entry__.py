@@ -1408,6 +1408,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # CHECKED RULE — integer aggregates must be cast: DuckDB types SUM over
+    # any integer expression as HUGEINT (int128), which surfaces as float64
+    # (.df()) or decimal128 (.arrow()) depending on the driver's fetch path
+    # and then canonicalizes differently from Spark's BIGINT ("39440.0" vs
+    # "39440" breaks the value hash even when rows/schema match). Every
+    # SUM/derived integer that reaches the output must be wrapped in
+    # CAST(... AS BIGINT). COUNT(*) is already BIGINT; SUMs over DOUBLE are
+    # fine. Audited r5: the only integer SUMs reaching a hash are
+    # multimodal_decode's sum_r/g/b (cast) and session/presence (cast).
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2255,7 +2264,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Full blocking+hamming SimHash gate: recompute BOTH simhashes of
         # every emitted pair from raw text (same polynomial fold as
-        # simhash_docs), XOR, bit-count, re-apply hamming <= 3.
+        # simhash_docs), XOR, bit-count, re-apply hamming <= 1 (the 31-bit
+        # gate variant; the 64-bit corpus path uses <= 3).
         "simhash_neardup_full": r"""
             WITH pair_ids AS (
               SELECT id_a, id_b
@@ -2410,9 +2420,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT s.doc_id, s.width, s.height,
-                   SUM((s.doc_id + 3*gx.x + 5*gy.y) % 256) AS sum_r,
-                   SUM((s.doc_id + 3*gx.x + 5*gy.y + 11) % 256) AS sum_g,
-                   SUM((s.doc_id + 3*gx.x + 5*gy.y + 22) % 256) AS sum_b
+                   CAST(SUM((s.doc_id + 3*gx.x + 5*gy.y) % 256) AS BIGINT) AS sum_r,
+                   CAST(SUM((s.doc_id + 3*gx.x + 5*gy.y + 11) % 256) AS BIGINT) AS sum_g,
+                   CAST(SUM((s.doc_id + 3*gx.x + 5*gy.y + 22) % 256) AS BIGINT) AS sum_b
             FROM sel s
             CROSS JOIN generate_series(0, 16) gx(x)
             CROSS JOIN generate_series(0, 8) gy(y)
