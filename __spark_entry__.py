@@ -1347,6 +1347,134 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# consolidated gates (round 5): the driver's CORRECTNESS file emitted exactly
+# 50 rows for 55 queries() entries in r4 — the 5 newest got no row at all.
+# To guarantee one green row per entry under a 50-row cap, closely-related
+# gate pairs are folded into single union/join gates below. Each merged gate
+# preserves BOTH members' full value surface (tagged union or doc_id join),
+# so coverage is unchanged — only the row count per driver gate grows.
+# ---------------------------------------------------------------------------
+
+def session_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9a both session gates, tag-unioned: the window-expression batch
+    close rule (gate='batch_window') and the REAL sessionize operator with
+    the delta-boundary hot-entity pre-split (gate='presplit')."""
+    a = session_bucketize(spark, sf_dir).select(
+        F.lit("batch_window").alias("gate"),
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("n_sessions").cast("long").alias("n_buckets"),
+        F.col("n_events").alias("n_claims"),
+    )
+    b = session_presplit(spark, sf_dir).select(
+        F.lit("presplit").alias("gate"),
+        "entity",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "n_claims",
+    )
+    return a.unionByName(b)
+
+
+def cumulative_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 + W5 tag-unioned: first-seen known-entity/value buckets
+    (gate='known_first') and the cumulative seen-values set at bucket 5
+    (gate='seen_upto5')."""
+    a = known_entities_cum(spark, sf_dir).select(
+        F.lit("known_first").alias("gate"),
+        F.col("value").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("first_bucket").cast("string").alias("v"),
+    )
+    b = seen_values_cum(spark, sf_dir).select(
+        F.lit("seen_upto5").alias("gate"),
+        F.col("entity").alias("k1"),
+        F.col("attr").alias("k2"),
+        F.col("values_seen").alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis pair tag-unioned: per-language aggregate quality stats
+    (gate='quality_by_lang') and per-doc token/punct/stopword features for
+    doc_id < 50 (gate='features_by_doc'). Integer metrics ride as doubles —
+    both engines canonicalize integral doubles identically."""
+    a = text_quality(spark, sf_dir).select(
+        F.lit("quality_by_lang").alias("gate"),
+        F.col("lang").alias("key"),
+        F.col("avg_tokens").alias("m1"),
+        F.col("avg_chars").alias("m2"),
+        F.col("n_docs").cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    b = text_features(spark, sf_dir).select(
+        F.lit("features_by_doc").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("double").alias("m1"),
+        F.col("n_punct").cast("double").alias("m2"),
+        F.col("en_hits").cast("double").alias("m3"),
+        F.col("n_chars").cast("double").alias("m4"),
+    )
+    return a.unionByName(b)
+
+
+def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pair tag-unioned: the per-doc 31-bit SimHash value gate
+    (gate='simhash31', id_b=-1 sentinel) and the full blocking+hamming
+    near-dup pair gate (gate='neardup_pairs'). Pair-exchange semantics of
+    simhash_neardup_full are unchanged (gate scale runs the portable 31-bit
+    variant + persists pairs; other scales run the xxhash64/64-bit path)."""
+    a = simhash_docs(spark, sf_dir).select(
+        F.lit("simhash31").alias("gate"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("simhash").cast("long").alias("v"),
+    )
+    b = simhash_neardup_full(spark, sf_dir)
+    bham = "hamming" if "hamming" in b.columns else b.columns[-1]
+    b = b.select(
+        F.lit("neardup_pairs").alias("gate"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col(bham).cast("long").alias("v"),
+    )
+    return a.unionByName(b)
+
+
+def mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture pair tag-unioned: the domain-mixture plan rows (gate='plan',
+    key='') and the materialized per-doc epochs (gate='apply'). Numeric
+    metrics ride as doubles; absent columns are NULL."""
+    a = mixture_plan_docs(spark, sf_dir).select(
+        F.lit("plan").alias("gate"),
+        "source",
+        F.lit("").alias("key"),
+        F.col("domain_tokens").cast("double").alias("m1"),
+        F.col("target_tokens").cast("double").alias("m2"),
+        F.col("rate").alias("m3"),
+        F.col("epochs").cast("double").alias("m4"),
+    )
+    b = apply_mixture_docs(spark, sf_dir).select(
+        F.lit("apply").alias("gate"),
+        "source",
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("epoch").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    return a.unionByName(b)
+
+
+def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats joined on doc_id: heuristic lang-ID + BPE-ish
+    token count (lang_id_docs) and within-doc duplicate n-gram ratios
+    (doc_repetition) — one row per document covering both operators."""
+    a = lang_id_docs(spark, sf_dir)
+    b = doc_repetition(spark, sf_dir)
+    return a.join(b, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1356,11 +1484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_exact": median_exact,
         "argmax_per_group": argmax_per_group,
         "stddev_denom": stddev_denom,
-        "session_bucketize": session_bucketize,
-        "session_presplit": session_presplit,
+        "session_close": session_close,
         "eval_set_ops": eval_set_ops,
         "dedup_exact": dedup_exact,
-        "text_quality": text_quality,
+        "text_profile": text_profile,
         "majority_fusion_sql": majority_fusion_sql,
         "crh_weight_step": crh_weight_step,
         "ann_topk": ann_topk,
@@ -1374,18 +1501,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slimfast_engine_weights": slimfast_engine_weights,
         "truthfinder_string_weights": truthfinder_string_weights,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "text_features": text_features,
         "presence_accept": presence_accept,
         "gt_carry_forward": gt_carry_forward_q,
         "minhash_neardup_docs": minhash_neardup_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_neardup_full": simhash_neardup_full,
+        "simhash_suite": simhash_suite,
         "embedding_neardup": embedding_neardup,
         "ivf_ann_topk": ivf_ann_topk,
         "docs_pipeline_triples": docs_pipeline_triples,
         "coordinate_fusion": coordinate_fusion,
-        "known_entities_cum": known_entities_cum,
-        "seen_values_cum": seen_values_cum,
+        "cumulative_sets": cumulative_sets,
         "reverse_map_fused": reverse_map_fused,
         "graph_degrees": graph_degrees,
         "evaluation_metrics": evaluation_metrics,
@@ -1397,14 +1521,285 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ego": graph_ego,
         "decontaminate_docs": decontaminate_docs,
         "pii_scan_docs": pii_scan_docs,
-        "doc_repetition": doc_repetition,
+        "textstats_docs": textstats_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "pack_sequences_docs": pack_sequences_docs,
-        "mixture_plan_docs": mixture_plan_docs,
-        "apply_mixture_docs": apply_mixture_docs,
+        "mixture_docs": mixture_docs,
         "curate_corpus_docs": curate_corpus_docs,
-        "lang_id_docs": lang_id_docs,
     }
+
+
+# --- SQL bodies shared by the consolidated gates (the original standalone
+# gate oracles; oracle_sql() wraps them with tags + casts so the merged
+# queries' schemas line up column-for-column) --------------------------------
+
+_SESSION_BUCKETIZE_SQL = """
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ) GROUP BY user_id
+"""
+
+# UNSPLIT session-close rule in plain SQL windows; matching the presplit
+# Spark path proves the delta-boundary split exact.
+_SESSION_PRESPLIT_SQL = """
+    WITH ev AS (
+      SELECT 'e' || CAST(user_id % 200 AS VARCHAR) AS entity,
+             's' || CAST(event_id % 5 AS VARCHAR) AS source,
+             event_type AS attr,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
+      FROM events),
+    g AS (
+      SELECT *,
+             sec - LAG(sec) OVER (PARTITION BY entity
+                                  ORDER BY ts, source, attr) AS ent_gap,
+             sec - LAG(sec) OVER (PARTITION BY entity, source, attr
+                                  ORDER BY ts) AS spa_gap
+      FROM ev),
+    c AS (
+      SELECT *, CASE WHEN ent_gap > 2592000 THEN 1
+                     WHEN spa_gap > 172800 THEN 1
+                     ELSE 0 END AS cl
+      FROM g),
+    b AS (
+      SELECT entity,
+             SUM(cl) OVER (PARTITION BY entity ORDER BY ts, source, attr
+                           ROWS UNBOUNDED PRECEDING) AS bucket
+      FROM c)
+    SELECT entity, CAST(MAX(bucket) + 1 AS INT) AS n_buckets,
+           COUNT(*) AS n_claims
+    FROM b GROUP BY entity
+"""
+
+_TEXT_QUALITY_SQL = """
+    SELECT lang,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           ROUND(AVG(length(text)), 6) AS avg_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+"""
+
+_TEXT_FEATURES_SQL = r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_tokens,
+           len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x IN ('the','and','of','to','a','is'))) AS en_hits,
+           length(text) AS n_chars
+    FROM documents WHERE doc_id < 50
+"""
+
+_SIMHASH_DOCS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+      FROM documents WHERE doc_id < 80),
+    tok AS (
+      SELECT doc_id, u.tokv
+      FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '')) AS u(tokv)),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT), list_transform(
+                 generate_series(1, length(tokv)),
+                 i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647) AS th
+      FROM tok),
+    bits AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN generate_series(0, 30) AS b(b)
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+"""
+
+# Full blocking+hamming SimHash gate: recompute BOTH simhashes of every
+# emitted pair from raw text (same polynomial fold as the simhash31 leg),
+# XOR, bit-count, re-apply hamming <= 1 (the 31-bit gate variant; the
+# 64-bit corpus path uses <= 3).
+_SIMHASH_FULL_SQL = r"""
+    WITH pair_ids AS (
+      SELECT id_a, id_b
+      FROM read_parquet('/root/repo/.oracle_data/simhash_pairs_sf0.01/*.parquet')),
+    ids AS (SELECT id_a AS id FROM pair_ids
+            UNION SELECT id_b FROM pair_ids),
+    t AS (
+      SELECT d.doc_id, regexp_replace(d.text, '[^ -~]', '', 'g') AS text
+      FROM documents d JOIN ids ON ids.id = d.doc_id),
+    tok AS (
+      SELECT doc_id, u.tokv
+      FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '')) AS u(tokv)),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT), list_transform(
+                 generate_series(1, length(tokv)),
+                 i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647) AS th
+      FROM tok),
+    bits AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN generate_series(0, 30) AS b(b)
+      GROUP BY doc_id, b.b),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)
+    SELECT p.id_a, p.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM pair_ids p
+    JOIN sh a ON a.doc_id = p.id_a
+    JOIN sh b ON b.doc_id = p.id_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+_KNOWN_ENT_SQL = """
+    WITH cl AS (
+      SELECT dayofyear(ts) % 10 AS bucket_id,
+             'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
+             event_type AS attr,
+             CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
+      FROM events),
+    u AS (SELECT entity AS value, bucket_id FROM cl
+          UNION ALL
+          SELECT value_str AS value, bucket_id FROM cl)
+    SELECT value, CAST(MIN(bucket_id) AS INT) AS first_bucket
+    FROM u WHERE value IS NOT NULL GROUP BY value
+"""
+
+_SEEN_VALUES_SQL = """
+    WITH cl AS (
+      SELECT dayofyear(ts) % 10 AS bucket_id,
+             'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
+             event_type AS attr,
+             CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
+      FROM events),
+    fs AS (SELECT entity, attr, value_str, MIN(bucket_id) AS first_bucket
+           FROM cl GROUP BY entity, attr, value_str)
+    SELECT entity, attr,
+           array_to_string(list_sort(list(value_str)), '|') AS values_seen
+    FROM fs WHERE first_bucket <= 5 GROUP BY entity, attr
+"""
+
+_DOC_REP_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END AS g3,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(generate_series(1, len(t) - 4),
+                              i -> array_to_string(t[i:i+4], ' '))
+             ELSE [] END AS g5
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN len(g3) > 0 THEN
+             ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+           ELSE 0.0 END AS dup3,
+           CASE WHEN len(g5) > 0 THEN
+             ROUND(1.0 - len(list_distinct(g5)) * 1.0 / len(g5), 6)
+           ELSE 0.0 END AS dup5
+    FROM g
+"""
+
+# lang_id: per-language stopword-marker hit counts; argmax with ties to the
+# lexicographically largest code (fr > es > en > de), zero hits -> 'und'.
+# BPE-ish token count via the same regex.
+_LANG_ID_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS tl
+      FROM documents),
+    hits AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(tl, x -> list_contains(
+               ['the','and','of','to','a','is'], x))) AS h_en,
+             len(list_filter(tl, x -> list_contains(
+               ['der','die','und','das','ist','ein'], x))) AS h_de,
+             len(list_filter(tl, x -> list_contains(
+               ['le','la','et','les','des','est'], x))) AS h_fr,
+             len(list_filter(tl, x -> list_contains(
+               ['el','la','los','que','es','una'], x))) AS h_es
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tokens_bpe
+    FROM hits
+"""
+
+# Domain-mixture plan: token totals per source vs integral target shares of
+# a 50k budget (SUM cast per the HUGEINT rule).
+_MIX_PLAN_SQL = r"""
+    WITH t AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != ''))) AS domain_tokens
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT source, CAST(domain_tokens AS BIGINT) AS domain_tokens,
+             CAST(ROUND(CASE source WHEN 'src0' THEN 0.3
+                                    WHEN 'src1' THEN 0.2
+                                    WHEN 'src2' THEN 0.1
+                                    ELSE 0.0 END * 50000) AS BIGINT)
+               AS target_tokens
+      FROM t)
+    SELECT source, domain_tokens, target_tokens,
+           ROUND(target_tokens * 1.0 / domain_tokens, 6) AS rate,
+           CAST(CEIL(target_tokens * 1.0 / domain_tokens) AS BIGINT)
+             AS epochs
+    FROM s
+"""
+
+# Mixture materialization: per-doc draw (same polyhash + 2 mix rounds,
+# salt 9) decides the fractional extra epoch; copies unrolled via
+# generate_series.
+_MIX_APPLY_SQL = r"""
+    WITH h AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(16 AS BIGINT), list_transform(
+                 generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                 i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR),
+                                             i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 2147483647) AS h0
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    m AS (
+      SELECT doc_id, source,
+             ROUND(((((h0 + 1) * 2654435761) % 2147483647 + 1)
+                    * 2654435761) % 2147483647 / 2147483647.0, 6) AS u,
+             CASE source WHEN 'src0' THEN 2.4 WHEN 'src1' THEN 1.0
+                         ELSE 0.5 END AS rate
+      FROM h),
+    n AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate)
+                                     THEN 1 ELSE 0 END AS INT) AS nc
+      FROM m)
+    SELECT doc_id, source, u.epoch
+    FROM n, UNNEST(generate_series(1, nc)) AS u(epoch)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1481,45 +1876,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_claims
             FROM lineitem GROUP BY l_partkey
         """,
-        "session_bucketize": """
-            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-            FROM (
-              SELECT user_id,
-                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                          THEN 1 ELSE 0 END AS new_sess
-              FROM events
-            ) GROUP BY user_id
-        """,
-        # UNSPLIT session-close rule in plain SQL windows; matching the
-        # presplit Spark path proves the delta-boundary split exact.
-        "session_presplit": """
-            WITH ev AS (
-              SELECT 'e' || CAST(user_id % 200 AS VARCHAR) AS entity,
-                     's' || CAST(event_id % 5 AS VARCHAR) AS source,
-                     event_type AS attr,
-                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, ts
-              FROM events),
-            g AS (
-              SELECT *,
-                     sec - LAG(sec) OVER (PARTITION BY entity
-                                          ORDER BY ts, source, attr) AS ent_gap,
-                     sec - LAG(sec) OVER (PARTITION BY entity, source, attr
-                                          ORDER BY ts) AS spa_gap
-              FROM ev),
-            c AS (
-              SELECT *, CASE WHEN ent_gap > 2592000 THEN 1
-                             WHEN spa_gap > 172800 THEN 1
-                             ELSE 0 END AS cl
-              FROM g),
-            b AS (
-              SELECT entity,
-                     SUM(cl) OVER (PARTITION BY entity ORDER BY ts, source, attr
-                                   ROWS UNBOUNDED PRECEDING) AS bucket
-              FROM c)
-            SELECT entity, CAST(MAX(bucket) + 1 AS INT) AS n_buckets,
-                   COUNT(*) AS n_claims
-            FROM b GROUP BY entity
+        # Consolidated r5 gate: both session gates tag-unioned (see
+        # session_close docstring; bodies in _SESSION_*_SQL).
+        "session_close": f"""
+            SELECT 'batch_window' AS gate, CAST(user_id AS VARCHAR) AS entity,
+                   CAST(n_sessions AS BIGINT) AS n_buckets,
+                   n_events AS n_claims
+            FROM ({_SESSION_BUCKETIZE_SQL})
+            UNION ALL
+            SELECT 'presplit' AS gate, entity,
+                   CAST(n_buckets AS BIGINT) AS n_buckets, n_claims
+            FROM ({_SESSION_PRESPLIT_SQL})
         """,
         "eval_set_ops": """
             WITH it AS (SELECT p_brand, p_partkey FROM part WHERE p_retailprice > 1400),
@@ -1542,12 +1909,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
         """,
-        "text_quality": """
-            SELECT lang,
-                   ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
-                   ROUND(AVG(length(text)), 6) AS avg_chars,
-                   COUNT(*) AS n_docs
-            FROM documents GROUP BY lang
+        # Consolidated r5 gate: per-lang quality aggregates + per-doc
+        # features tag-unioned; integer metrics ride as DOUBLE (integral
+        # doubles canonicalize identically on both engines).
+        "text_profile": f"""
+            SELECT 'quality_by_lang' AS gate, lang AS key, avg_tokens AS m1,
+                   avg_chars AS m2, CAST(n_docs AS DOUBLE) AS m3,
+                   CAST(NULL AS DOUBLE) AS m4
+            FROM ({_TEXT_QUALITY_SQL})
+            UNION ALL
+            SELECT 'features_by_doc' AS gate, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(n_tokens AS DOUBLE) AS m1, CAST(n_punct AS DOUBLE) AS m2,
+                   CAST(en_hits AS DOUBLE) AS m3, CAST(n_chars AS DOUBLE) AS m4
+            FROM ({_TEXT_FEATURES_SQL})
         """,
         "majority_fusion_sql": f"""
             WITH claims AS ({_CLAIMS_SQL}),
@@ -1948,15 +2322,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
         """,
-        "text_features": r"""
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS n_tokens,
-                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-                   len(list_filter(string_split_regex(lower(text), '\s+'),
-                                   x -> x IN ('the','and','of','to','a','is'))) AS en_hits,
-                   length(text) AS n_chars
-            FROM documents WHERE doc_id < 50
-        """,
         "presence_accept": """
             WITH ev AS (
               SELECT 'e' || CAST(user_id % 40 AS VARCHAR) AS entity,
@@ -2121,34 +2486,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(tp * 1.0 / gt_n, 6) AS c_rate
             FROM pr
         """,
-        # Independent SimHash recomputation: same tokenization, polynomial
-        # char hash (fold (h*31+code) % (2^31-1), seed 7), per-bit +/-1 vote
-        # sums, sign bits reassembled — plain arithmetic on both engines.
-        "simhash_docs": r"""
-            WITH t AS (
-              SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
-              FROM documents WHERE doc_id < 80),
-            tok AS (
-              SELECT doc_id, u.tokv
-              FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
-                                         x -> x != '')) AS u(tokv)),
-            h AS (
-              SELECT doc_id,
-                     list_reduce(
-                       list_prepend(CAST(7 AS BIGINT), list_transform(
-                         generate_series(1, length(tokv)),
-                         i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
-                       (a, c) -> (a * 31 + c) % 2147483647) AS th
-              FROM tok),
-            bits AS (
-              SELECT doc_id, b.b,
-                     SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN generate_series(0, 30) AS b(b)
-              GROUP BY doc_id, b.b)
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                        AS BIGINT) AS simhash
-            FROM bits GROUP BY doc_id
+        # Consolidated r5 gate: independent SimHash recomputation (same
+        # tokenization, polynomial char hash fold (h*31+code) % (2^31-1)
+        # seed 7, per-bit +/-1 vote sums, sign bits reassembled) tag-unioned
+        # with the full blocking+hamming near-dup pair gate (pair-exchange;
+        # bodies in _SIMHASH_DOCS_SQL / _SIMHASH_FULL_SQL).
+        "simhash_suite": f"""
+            SELECT 'simhash31' AS gate, CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(-1 AS BIGINT) AS id_b, CAST(simhash AS BIGINT) AS v
+            FROM ({_SIMHASH_DOCS_SQL})
+            UNION ALL
+            SELECT 'neardup_pairs' AS gate, CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS BIGINT) AS v
+            FROM ({_SIMHASH_FULL_SQL})
         """,
         # Closed-form re-derivation of gen_docs(100, 10, 4) -> extract ->
         # majority -> triples. The _mix chain is ((h + c + 1) * 2654435761)
@@ -2262,48 +2612,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = p.id_b
             WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.8
         """,
-        # Full blocking+hamming SimHash gate: recompute BOTH simhashes of
-        # every emitted pair from raw text (same polynomial fold as
-        # simhash_docs), XOR, bit-count, re-apply hamming <= 1 (the 31-bit
-        # gate variant; the 64-bit corpus path uses <= 3).
-        "simhash_neardup_full": r"""
-            WITH pair_ids AS (
-              SELECT id_a, id_b
-              FROM read_parquet('/root/repo/.oracle_data/simhash_pairs_sf0.01/*.parquet')),
-            ids AS (SELECT id_a AS id FROM pair_ids
-                    UNION SELECT id_b FROM pair_ids),
-            t AS (
-              SELECT d.doc_id, regexp_replace(d.text, '[^ -~]', '', 'g') AS text
-              FROM documents d JOIN ids ON ids.id = d.doc_id),
-            tok AS (
-              SELECT doc_id, u.tokv
-              FROM t, UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
-                                         x -> x != '')) AS u(tokv)),
-            h AS (
-              SELECT doc_id,
-                     list_reduce(
-                       list_prepend(CAST(7 AS BIGINT), list_transform(
-                         generate_series(1, length(tokv)),
-                         i -> CAST(unicode(substring(tokv, i, 1)) AS BIGINT))),
-                       (a, c) -> (a * 31 + c) % 2147483647) AS th
-              FROM tok),
-            bits AS (
-              SELECT doc_id, b.b,
-                     SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM h CROSS JOIN generate_series(0, 30) AS b(b)
-              GROUP BY doc_id, b.b),
-            sh AS (
-              SELECT doc_id,
-                     CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                          AS BIGINT) AS simhash
-              FROM bits GROUP BY doc_id)
-            SELECT p.id_a, p.id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM pair_ids p
-            JOIN sh a ON a.doc_id = p.id_a
-            JOIN sh b ON b.doc_id = p.id_b
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
-        """,
         # Transitive-closure CC oracle: component = min reachable node over
         # the symmetric edge relation — a wholly different algorithm from
         # the engine's large-star/small-star rounds.
@@ -2373,31 +2681,16 @@ def oracle_sql() -> dict[str, str]:
                    s.n_ordered, ROUND(m.mnad, 6) AS mnad_v
             FROM spec s LEFT JOIN mn m USING (bucket_id, attr)
         """,
-        "known_entities_cum": """
-            WITH cl AS (
-              SELECT dayofyear(ts) % 10 AS bucket_id,
-                     'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
-                     event_type AS attr,
-                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
-              FROM events),
-            u AS (SELECT entity AS value, bucket_id FROM cl
-                  UNION ALL
-                  SELECT value_str AS value, bucket_id FROM cl)
-            SELECT value, CAST(MIN(bucket_id) AS INT) AS first_bucket
-            FROM u WHERE value IS NOT NULL GROUP BY value
-        """,
-        "seen_values_cum": """
-            WITH cl AS (
-              SELECT dayofyear(ts) % 10 AS bucket_id,
-                     'e' || CAST(user_id % 50 AS VARCHAR) AS entity,
-                     event_type AS attr,
-                     CAST(CAST(ROUND(value, -2) AS BIGINT) AS VARCHAR) AS value_str
-              FROM events),
-            fs AS (SELECT entity, attr, value_str, MIN(bucket_id) AS first_bucket
-                   FROM cl GROUP BY entity, attr, value_str)
-            SELECT entity, attr,
-                   array_to_string(list_sort(list(value_str)), '|') AS values_seen
-            FROM fs WHERE first_bucket <= 5 GROUP BY entity, attr
+        # Consolidated r5 gate: first-seen known set + cumulative seen
+        # values tag-unioned as (gate, k1, k2, v) strings.
+        "cumulative_sets": f"""
+            SELECT 'known_first' AS gate, value AS k1, '' AS k2,
+                   CAST(first_bucket AS VARCHAR) AS v
+            FROM ({_KNOWN_ENT_SQL})
+            UNION ALL
+            SELECT 'seen_upto5' AS gate, entity AS k1, attr AS k2,
+                   values_seen AS v
+            FROM ({_SEEN_VALUES_SQL})
         """,
         "gt_carry_forward": """
             WITH sparse AS (
@@ -2531,32 +2824,13 @@ def oracle_sql() -> dict[str, str]:
                      '<PHONE>', 'g') AS redacted
             FROM p
         """,
-        # Within-doc duplicate n-gram ratio at n=3 and n=5.
-        "doc_repetition": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x != '') AS t
-              FROM documents),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 3 THEN
-                       list_transform(generate_series(1, len(t) - 2),
-                                      i -> array_to_string(t[i:i+2], ' '))
-                     ELSE [] END AS g3,
-                     CASE WHEN len(t) >= 5 THEN
-                       list_transform(generate_series(1, len(t) - 4),
-                                      i -> array_to_string(t[i:i+4], ' '))
-                     ELSE [] END AS g5
-              FROM toks)
-            SELECT doc_id,
-                   CASE WHEN len(g3) > 0 THEN
-                     ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
-                   ELSE 0.0 END AS dup3,
-                   CASE WHEN len(g5) > 0 THEN
-                     ROUND(1.0 - len(list_distinct(g5)) * 1.0 / len(g5), 6)
-                   ELSE 0.0 END AS dup5
-            FROM g
+        # Consolidated r5 gate: lang-ID + BPE-ish token count joined with
+        # within-doc duplicate n-gram ratios (n=3, n=5) on doc_id (bodies in
+        # _LANG_ID_SQL / _DOC_REP_SQL).
+        "textstats_docs": f"""
+            SELECT l.doc_id, l.lang, l.lang_pred, l.n_tokens_bpe,
+                   r.dup3, r.dup5
+            FROM ({_LANG_ID_SQL}) l JOIN ({_DOC_REP_SQL}) r USING (doc_id)
         """,
         # Deterministic stratified sampling: the draw is the 31-bit
         # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)
@@ -2612,55 +2886,19 @@ def oracle_sql() -> dict[str, str]:
                    fill - tok AS bin_offset
             FROM pack
         """,
-        # Domain-mixture plan: token totals per source vs integral target
-        # shares of a 50k budget.
-        "mixture_plan_docs": r"""
-            WITH t AS (
-              SELECT source,
-                     SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
-                                         x -> x != ''))) AS domain_tokens
-              FROM documents GROUP BY source),
-            s AS (
-              SELECT source, CAST(domain_tokens AS BIGINT) AS domain_tokens,
-                     CAST(ROUND(CASE source WHEN 'src0' THEN 0.3
-                                            WHEN 'src1' THEN 0.2
-                                            WHEN 'src2' THEN 0.1
-                                            ELSE 0.0 END * 50000) AS BIGINT)
-                       AS target_tokens
-              FROM t)
-            SELECT source, domain_tokens, target_tokens,
-                   ROUND(target_tokens * 1.0 / domain_tokens, 6) AS rate,
-                   CAST(CEIL(target_tokens * 1.0 / domain_tokens) AS BIGINT)
-                     AS epochs
-            FROM s
-        """,
-        # Mixture materialization: per-doc draw (same polyhash + 2 mix
-        # rounds, salt 9) decides the fractional extra epoch; copies
-        # unrolled via generate_series.
-        "apply_mixture_docs": r"""
-            WITH h AS (
-              SELECT doc_id, source,
-                     list_reduce(
-                       list_prepend(CAST(16 AS BIGINT), list_transform(
-                         generate_series(1, length(CAST(doc_id AS VARCHAR))),
-                         i -> CAST(unicode(substring(CAST(doc_id AS VARCHAR),
-                                                     i, 1)) AS BIGINT))),
-                       (a, c) -> (a * 31 + c) % 2147483647) AS h0
-              FROM documents WHERE source IN ('src0', 'src1', 'src2')),
-            m AS (
-              SELECT doc_id, source,
-                     ROUND(((((h0 + 1) * 2654435761) % 2147483647 + 1)
-                            * 2654435761) % 2147483647 / 2147483647.0, 6) AS u,
-                     CASE source WHEN 'src0' THEN 2.4 WHEN 'src1' THEN 1.0
-                                 ELSE 0.5 END AS rate
-              FROM h),
-            n AS (
-              SELECT doc_id, source,
-                     CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate)
-                                             THEN 1 ELSE 0 END AS INT) AS nc
-              FROM m)
-            SELECT doc_id, source, u.epoch
-            FROM n, UNNEST(generate_series(1, nc)) AS u(epoch)
+        # Consolidated r5 gate: mixture plan rows + materialized per-doc
+        # epochs tag-unioned (bodies in _MIX_PLAN_SQL / _MIX_APPLY_SQL).
+        "mixture_docs": f"""
+            SELECT 'plan' AS gate, source, '' AS key,
+                   CAST(domain_tokens AS DOUBLE) AS m1,
+                   CAST(target_tokens AS DOUBLE) AS m2, rate AS m3,
+                   CAST(epochs AS DOUBLE) AS m4
+            FROM ({_MIX_PLAN_SQL})
+            UNION ALL
+            SELECT 'apply' AS gate, source, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(epoch AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM ({_MIX_APPLY_SQL})
         """,
         # Full curation-chain replay: dedup (min doc_id per text) -> the
         # complete quality_features score -> decontamination -> portable
@@ -2754,35 +2992,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, tok AS n_tokens, bin_id,
                    fill - tok AS bin_offset
             FROM pack
-        """,
-        # lang_id: per-language stopword-marker hit counts; argmax with
-        # ties to the lexicographically largest code (fr > es > en > de),
-        # zero hits -> 'und'. BPE-ish token count via the same regex.
-        "lang_id_docs": r"""
-            WITH t AS (
-              SELECT doc_id, lang, text,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                                 x -> x != '') AS tl
-              FROM documents),
-            hits AS (
-              SELECT doc_id, lang, text,
-                     len(list_filter(tl, x -> list_contains(
-                       ['the','and','of','to','a','is'], x))) AS h_en,
-                     len(list_filter(tl, x -> list_contains(
-                       ['der','die','und','das','ist','ein'], x))) AS h_de,
-                     len(list_filter(tl, x -> list_contains(
-                       ['le','la','et','les','des','est'], x))) AS h_fr,
-                     len(list_filter(tl, x -> list_contains(
-                       ['el','la','los','que','es','una'], x))) AS h_es
-              FROM t)
-            SELECT doc_id, lang,
-                   CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-                        WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
-                        WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
-                        WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
-                        ELSE 'de' END AS lang_pred,
-                   len(regexp_extract_all(text,
-                       '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tokens_bpe
-            FROM hits
         """,
     }

@@ -62,7 +62,7 @@ def main() -> int:
     # COVERAGE.md "pair-exchange gate contract"); comparing any other scale
     # against the committed sf0.01 ids would mismatch spuriously (ADVICE r3).
     gate_scale_only = {
-        "minhash_neardup_docs", "embedding_neardup", "simhash_neardup_full",
+        "minhash_neardup_docs", "embedding_neardup", "simhash_suite",
         # catd's chi2 closed form is pinned to the gate-scale dof window
         # (k <= 75 keeps chi2.cdf(0.025, k) ~ 1e-115 inside double range;
         # at sf0.1 the same slice reaches k where both the engine's and the
