@@ -390,3 +390,53 @@ def test_curate_corpus_null_text_dropped(spark):
     out = curate_corpus(docs, capacity=64).collect()
     assert {r["doc_id"] for r in out} == {0}
     assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_pack_sequences_chunk_size_invariance(spark):
+    """The chunked transfer-function path (VERDICT r4 #3: no executor holds
+    a whole shard) must be bit-identical to the single-pass greedy for ANY
+    max_chunk — including max_chunk=1 (every doc its own chunk), ties on
+    (order, tokens), zero-token docs, and oversized docs."""
+    import random
+
+    random.seed(11)
+    rows = []
+    for grp, n in (("a", 400), ("b", 37), ("c", 1)):
+        for i in range(n):
+            tok = random.choice([0, 1, 3, 17, 40, 63, 64, 65, 100, 200])
+            rows.append((grp, i // 3, tok))  # i//3 -> duplicate order keys
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+
+    def run(mc):
+        return sorted(
+            tuple(r) for r in pack_sequences(df, capacity=64, max_chunk=mc).collect()
+        )
+
+    base = run(10**9)  # single-pass path
+    assert len(base) == len(rows)
+    for mc in (1, 7, 64, 400):
+        assert run(mc) == base, f"chunked output diverged at max_chunk={mc}"
+
+
+def test_pack_sequences_chunked_carry_cases(spark):
+    """Targeted carries across chunk boundaries: a bin straddling the
+    boundary, an oversized doc AS the carry (fill > capacity sentinel), and
+    a chunk with no break at all (carry passes straight through)."""
+    cases = {
+        # straddle: 60+60 fills bin0 to 120; carry 120 into next chunk
+        "straddle": [60, 60, 7, 100],
+        # oversized carry: doc 300 overflows; next chunk must break at once
+        "oversized": [50, 300, 5, 5],
+        # pass-through: all zeros then tiny — no break anywhere
+        "zeros": [0, 0, 0, 1, 0],
+    }
+    rows = [(g, i, t) for g, toks in cases.items() for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    for mc in (1, 2, 3):
+        got = {
+            (r["source"], r["doc_id"]): (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, capacity=128, max_chunk=mc).collect()
+        }
+        for g, toks in cases.items():
+            for i, e in enumerate(_greedy(toks, 128)):
+                assert got[(g, i)] == e, (g, mc)

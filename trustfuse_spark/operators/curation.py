@@ -192,12 +192,29 @@ def stratified_sample(
     return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
 
 
+def _pack_greedy(toks, capacity: int, fill: int, breaks: int, fresh: bool):
+    """The sequential first-fit fold: returns (bin_ids, offsets) given the
+    carry-in state. ``fresh`` marks the true start of a shard — the very
+    first doc never opens a new bin, even when oversized."""
+    bins, offs = [], []
+    for tok in toks:
+        if not fresh and fill + tok > capacity:
+            breaks += 1
+            fill = 0
+        bins.append(breaks)
+        offs.append(fill)
+        fill += int(tok)
+        fresh = False
+    return bins, offs
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int,
     group_col: str = "source",
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    max_chunk: int = 262_144,
 ) -> DataFrame:
     """Greedy first-fit-in-order sequence packing: within each ``group_col``
     shard, walk docs in ``order_col`` order keeping a running fill; a doc
@@ -206,13 +223,38 @@ def pack_sequences(
 
     This is the standard pre-tokenization packing step for LLM training
     (maximize context-window utilization). Packing is inherently sequential
-    *within* a shard, so the operator keys on a caller-chosen shard column:
-    parallelism = number of shards, and each shard packs exactly and
-    deterministically. Emitted ``bin_id`` is shard-local; pair it with the
-    shard key for a global id.
+    *within* a shard, but no executor ever holds a whole shard: shards
+    larger than ``max_chunk`` rows are split into row-number chunks and
+    packed EXACTLY via a transfer-function pass (VERDICT r4 #3) —
 
-    Returns (group, order, tokens, bin_id, bin_offset) rows.
+    1. per chunk, one vectorized pass computes (carry-out fill, #bin
+       breaks) for EVERY possible carry-in fill 0..capacity plus the
+       oversized-carry sentinel: the first break index for carry ``f`` is a
+       ``searchsorted`` over the chunk's token prefix sums, and everything
+       after the first break is carry-independent (a reverse DP over the
+       "next break" pointers, O(rows) total);
+    2. a per-shard fold over the tiny chunk summaries chains the actual
+       carries (rows = #chunks, never the docs);
+    3. a second pass packs each chunk with its known carry-in fill and
+       running bin count.
+
+    Because step 1 is exact for every carry, the output is bit-identical to
+    the single-pass greedy for ANY ``max_chunk`` (pytest asserts chunk-size
+    invariance), and the driver oracle — a plain sequential recursive-CTE
+    replay — stays valid unchanged. Memory: a pandas frame is bounded by
+    ``max_chunk`` rows, and each chunk summary carries two arrays of
+    ``capacity + 2`` longs — size ``max_chunk`` so #chunks × capacity stays
+    small relative to executor memory (defaults: 256 Ki rows × 2 Ki capacity
+    ≈ 125 MB of summaries per *billion-row* shard).
+
+    Shards that fit ``max_chunk`` take the direct single-pass path (the
+    pre-r5 plan: one shuffle, no window) — the common case at bench scale.
+    Emitted ``bin_id`` is shard-local; pair it with the shard key for a
+    global id. Returns (group, order, tokens, bin_id, bin_offset) rows.
     """
+    import numpy as np
+    from pyspark.sql import Window
+
     sel = docs.select(
         F.col(group_col).alias("grp"),
         F.col(order_col).alias("ord"),
@@ -220,29 +262,131 @@ def pack_sequences(
     )
     grp_t = sel.schema["grp"].dataType.simpleString()
     ord_t = sel.schema["ord"].dataType.simpleString()
-    schema = f"grp {grp_t}, ord {ord_t}, tok long, bin_id long, bin_offset long"
+    out_schema = f"grp {grp_t}, ord {ord_t}, tok long, bin_id long, bin_offset long"
+    cap = int(capacity)
+    sentinel = cap + 1  # any carry fill > cap behaves identically: always breaks
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        # secondary key: with duplicate order values, arrival order is
-        # shuffle-dependent — (ord, tok) makes the output a pure function
-        # of the data (rows tying on BOTH keys are interchangeable)
-        pdf = pdf.sort_values(["ord", "tok"], kind="mergesort").reset_index(drop=True)
-        bins, offs = [], []
-        bin_id, fill = 0, 0
-        first = True
-        for tok in pdf["tok"].to_numpy():
-            if not first and fill + tok > capacity:
-                bin_id += 1
-                fill = 0
-            bins.append(bin_id)
-            offs.append(fill)
-            fill += int(tok)
-            first = False
-        pdf["bin_id"] = bins
-        pdf["bin_offset"] = offs
-        return pdf
+    # plan-choice scalar (like ANN's centroid collect): biggest shard decides
+    # whether the chunked machinery is needed at all
+    n_max = sel.groupBy("grp").count().agg(F.max("count")).collect()[0][0] or 0
 
-    out = sel.groupBy("grp").applyInPandas(_pack, schema)
+    if n_max <= max_chunk:
+
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            # secondary key: with duplicate order values, arrival order is
+            # shuffle-dependent — (ord, tok) makes the output a pure function
+            # of the data (rows tying on BOTH keys are interchangeable)
+            pdf = pdf.sort_values(["ord", "tok"], kind="mergesort").reset_index(drop=True)
+            bins, offs = _pack_greedy(pdf["tok"].to_numpy(), cap, 0, 0, True)
+            pdf["bin_id"] = bins
+            pdf["bin_offset"] = offs
+            return pdf
+
+        out = sel.groupBy("grp").applyInPandas(_pack, out_schema)
+    else:
+        w = Window.partitionBy("grp").orderBy("ord", "tok")
+        sel = sel.withColumn("rn", F.row_number().over(w)).withColumn(
+            "chunk", ((F.col("rn") - 1) / max_chunk).cast("long")
+        )
+        big = sel.groupBy("grp").agg((F.max("chunk") + 1).alias("n_chunks"))
+
+        sum_schema = (
+            f"grp {grp_t}, chunk long, out_fill array<long>, n_breaks array<long>,"
+            " fresh_out long, fresh_breaks long"
+        )
+
+        def _summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ord", "tok"], kind="mergesort")
+            toks = pdf["tok"].to_numpy(dtype=np.int64)
+            n = len(toks)
+            prefix = np.cumsum(toks)
+            total = int(prefix[-1])
+            # next-break pointer from a break at i (fill = tok[i]):
+            # smallest k > i with prefix[k] > cap - tok[i] + prefix[i]
+            nb = np.searchsorted(prefix, cap - toks + prefix, side="right")
+            nb = np.maximum(nb, np.arange(n) + 1)  # oversized doc: break next
+            # reverse DP: total breaks and last break position of the chain
+            breaks_from = np.ones(n, dtype=np.int64)
+            last = np.arange(n)
+            for i in range(n - 1, -1, -1):
+                k = nb[i]
+                if k < n:
+                    breaks_from[i] += breaks_from[k]
+                    last[i] = last[k]
+            out_from = total - prefix[last] + toks[last]  # fill after chain end
+            # f-vector: first break for carry f is searchsorted(prefix, cap-f)
+            fs = np.arange(cap + 1, dtype=np.int64)
+            i_f = np.searchsorted(prefix, cap - fs, side="right")
+            hit = i_f < n
+            out_v = np.where(hit, out_from[np.minimum(i_f, n - 1)], fs + total)
+            brk_v = np.where(hit, breaks_from[np.minimum(i_f, n - 1)], 0)
+            # sentinel row (carry > cap): always breaks at the first doc
+            out_v = np.append(out_v, out_from[0])
+            brk_v = np.append(brk_v, breaks_from[0])
+            # fresh start: doc 0 opens bin 0 without a break
+            k0 = max(int(np.searchsorted(prefix, cap, side="right")), 1)
+            if k0 < n:
+                fresh_out, fresh_breaks = int(out_from[k0]), int(breaks_from[k0])
+            else:
+                fresh_out, fresh_breaks = total, 0
+            return pd.DataFrame(
+                {
+                    "grp": [pdf["grp"].iloc[0]],
+                    "chunk": [pdf["chunk"].iloc[0]],
+                    "out_fill": [out_v.tolist()],
+                    "n_breaks": [brk_v.tolist()],
+                    "fresh_out": [fresh_out],
+                    "fresh_breaks": [fresh_breaks],
+                }
+            )
+
+        multi = sel.join(
+            F.broadcast(big.filter(F.col("n_chunks") > 1).select("grp")),
+            "grp",
+            "left_semi",
+        )
+        summaries = multi.groupBy("grp", "chunk").applyInPandas(_summarize, sum_schema)
+
+        carry_schema = f"grp {grp_t}, chunk long, c_fill long, c_breaks long, c_fresh int"
+
+        def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("chunk").reset_index(drop=True)
+            fill, breaks, fresh = 0, 0, True
+            rows = []
+            for _, r in pdf.iterrows():
+                rows.append((r["grp"], int(r["chunk"]), fill, breaks, int(fresh)))
+                if fresh:
+                    breaks += int(r["fresh_breaks"])
+                    fill = int(r["fresh_out"])
+                else:
+                    idx = min(fill, sentinel)
+                    breaks += int(r["n_breaks"][idx])
+                    fill = int(r["out_fill"][idx])
+                fresh = False
+            return pd.DataFrame(
+                rows, columns=["grp", "chunk", "c_fill", "c_breaks", "c_fresh"]
+            )
+
+        carries = summaries.groupBy("grp").applyInPandas(_fold, carry_schema)
+        packed_in = sel.join(F.broadcast(carries), ["grp", "chunk"], "left").fillna(
+            {"c_fill": 0, "c_breaks": 0, "c_fresh": 1}
+        )
+
+        def _pack_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ord", "tok"], kind="mergesort").reset_index(drop=True)
+            bins, offs = _pack_greedy(
+                pdf["tok"].to_numpy(),
+                cap,
+                int(pdf["c_fill"].iloc[0]),
+                int(pdf["c_breaks"].iloc[0]),
+                bool(pdf["c_fresh"].iloc[0]),
+            )
+            pdf["bin_id"] = bins
+            pdf["bin_offset"] = offs
+            return pdf[["grp", "ord", "tok", "bin_id", "bin_offset"]]
+
+        out = packed_in.groupBy("grp", "chunk").applyInPandas(_pack_chunk, out_schema)
+
     return out.select(
         F.col("grp").alias(group_col),
         F.col("ord").alias(order_col),
