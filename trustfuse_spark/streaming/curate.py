@@ -60,10 +60,13 @@ def stream_curated_docs(
     ``benchmark`` (static DataFrame with a ``gram`` column) drops
     contaminated docs. The batch `decontaminate` re-aggregates per doc —
     not expressible in append mode — so the stream uses the row-local
-    equivalent: ``arrays_overlap`` between the doc's n-grams and the
-    benchmark set materialized as one literal array (eval suites are
-    bounded; the literal ships once with the plan). Same keep/drop
-    decision as batch, no per-doc match counts.
+    `curation.contamination_keep`: up to 10k grams a plan-literal
+    ``arrays_overlap`` (zero Python, but O(|benchmark|) per row — ADVICE
+    r4), beyond that a broadcast frozenset probed by an Arrow-batched
+    pandas filter at O(|doc grams|) per doc, and above 20M grams a loud
+    refusal (that is corpus-scale data, not an eval suite — run the batch
+    sweep over closed partitions). Same keep/drop decision as batch on
+    every tier, no per-doc match counts.
 
     Dedup keys on xxhash64(redacted text) — 8 bytes of state per distinct
     doc within the horizon instead of the text itself (the batch hash-first
@@ -79,7 +82,7 @@ def stream_curated_docs(
         F.col("quality_score") >= min_quality
     )
     if benchmark is not None:
-        from trustfuse_spark.operators.curation import word_ngrams
+        from trustfuse_spark.operators.curation import contamination_keep
 
         # drop NULL grams: a single null element in the literal makes
         # arrays_overlap return NULL (not false) for every clean doc, and
@@ -91,9 +94,7 @@ def stream_curated_docs(
         ]
         if grams:
             scored = scored.filter(
-                ~F.arrays_overlap(
-                    word_ngrams(F.col("text"), bench_ngram), F.lit(grams)
-                )
+                contamination_keep(spark, F.col("text"), grams, bench_ngram)
             )
     keyed = scored.select(
         "doc_id", "source", "ts", "text", "quality_score",
