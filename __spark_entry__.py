@@ -473,6 +473,26 @@ def slimfast_engine_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.weights.select("source", F.round("weight", 6).alias("w"))
 
 
+def ltm_engine_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ltm_posterior_mean (engine code): the derandomized LTM — synchronous
+    posterior-mean updates, 2 iterations, over the CATD gate slice
+    (user_id < 15 bounds the implicit-zero expansion DuckDB must unroll).
+    The oracle replays binary_claims' implicit-zero expansion, both soft
+    confusion-count E-steps, the minus-own-contribution ratio products (as
+    ln sums) and the sigmoid-form posterior — closing the last driver-gate
+    model gap (reference ltm.py:87-160; the seeded Gibbs chain stays
+    pytest-gated per COVERAGE.md §2.4)."""
+    from trustfuse_spark.operators.fusion.ltm import ltm_posterior_mean
+
+    post = ltm_posterior_mean(_engine_claims_small(spark, sf_dir), iters=2)
+    return post.select(
+        "entity",
+        "attr",
+        F.col("vkey").cast("double").alias("v"),
+        F.round("posterior", 6).alias("post"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # operator queries (dedup / text / temporal)
 # ---------------------------------------------------------------------------
@@ -1499,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtm_engine_weights": gtm_engine_weights,
         "kdem_engine_weights": kdem_engine_weights,
         "slimfast_engine_weights": slimfast_engine_weights,
+        "ltm_engine_post": ltm_engine_post,
         "truthfinder_string_weights": truthfinder_string_weights,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "presence_accept": presence_accept,
@@ -2278,6 +2299,79 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT 1.0/(1.0 + exp(-(SELECT w FROM w2s))) AS a))
             SELECT source, ROUND((SELECT a FROM a2), 6) AS w
             FROM (SELECT DISTINCT source FROM prep)
+        """,
+        # Derandomized LTM (posterior-mean mean-field, 2 synchronous
+        # iterations) replayed closed-form: the implicit-zero binary-claim
+        # expansion, soft confusion counts per (attr, source), the
+        # minus-own-contribution ratio chain as ln sums, and the sigmoid
+        # posterior. ALPHA a11=a10=50 (so the t=1 numerator prior is 50 for
+        # either observation and the denominator prior sums to 100);
+        # a01=100, a00=10000 (denominator prior 10100). BETA symmetric ->
+        # the ln BETA term cancels.
+        "ltm_engine_post": f"""
+            WITH cl AS ({_CLAIMS_SMALL_SQL}),
+            one AS (SELECT DISTINCT source, entity, attr, v FROM cl),
+            facts AS (SELECT DISTINCT entity, attr, v FROM one),
+            touched AS (SELECT DISTINCT source, entity, attr FROM one),
+            bc AS (
+              SELECT source, entity, attr, v, 1 AS obs FROM one
+              UNION ALL
+              SELECT t.source, f.entity, f.attr, f.v, 0 AS obs
+              FROM touched t
+              JOIN facts f ON f.entity = t.entity AND f.attr = t.attr
+              WHERE NOT EXISTS (
+                SELECT 1 FROM one o
+                WHERE o.source = t.source AND o.entity = f.entity
+                  AND o.attr = f.attr AND o.v = f.v)),
+            p0 AS (SELECT entity, attr, v, 0.5 AS p FROM facts),
+            j1 AS (SELECT b.*, p.p FROM bc b
+                   JOIN p0 p ON p.entity = b.entity AND p.attr = b.attr
+                            AND p.v = b.v),
+            c1 AS (SELECT attr, source,
+                          SUM(CASE WHEN obs = 1 THEN p ELSE 0 END) AS n1_1,
+                          SUM(CASE WHEN obs = 0 THEN p ELSE 0 END) AS n1_0,
+                          SUM(CASE WHEN obs = 1 THEN 1 - p ELSE 0 END) AS n0_1,
+                          SUM(CASE WHEN obs = 0 THEN 1 - p ELSE 0 END) AS n0_0
+                   FROM j1 GROUP BY attr, source),
+            s1 AS (SELECT j.entity, j.attr, j.v, ANY_VALUE(j.p) AS p,
+                          SUM(LN(((CASE WHEN obs = 1 THEN n1_1 ELSE n1_0 END)
+                                  - p + 50.0)
+                                 / (n1_1 + n1_0 - p + 100.0))) AS l1,
+                          SUM(LN(((CASE WHEN obs = 1 THEN n0_1 ELSE n0_0 END)
+                                  - (1 - p)
+                                  + CASE WHEN obs = 1 THEN 100.0
+                                         ELSE 10000.0 END)
+                                 / (n0_1 + n0_0 - (1 - p) + 10100.0))) AS l0
+                   FROM j1 j JOIN c1 ON c1.attr = j.attr
+                                    AND c1.source = j.source
+                   GROUP BY j.entity, j.attr, j.v),
+            p1 AS (SELECT entity, attr, v,
+                          1.0 / (1.0 + EXP(l0 - l1)) AS p
+                   FROM s1),
+            j2 AS (SELECT b.*, p.p FROM bc b
+                   JOIN p1 p ON p.entity = b.entity AND p.attr = b.attr
+                            AND p.v = b.v),
+            c2 AS (SELECT attr, source,
+                          SUM(CASE WHEN obs = 1 THEN p ELSE 0 END) AS n1_1,
+                          SUM(CASE WHEN obs = 0 THEN p ELSE 0 END) AS n1_0,
+                          SUM(CASE WHEN obs = 1 THEN 1 - p ELSE 0 END) AS n0_1,
+                          SUM(CASE WHEN obs = 0 THEN 1 - p ELSE 0 END) AS n0_0
+                   FROM j2 GROUP BY attr, source),
+            s2 AS (SELECT j.entity, j.attr, j.v,
+                          SUM(LN(((CASE WHEN obs = 1 THEN n1_1 ELSE n1_0 END)
+                                  - p + 50.0)
+                                 / (n1_1 + n1_0 - p + 100.0))) AS l1,
+                          SUM(LN(((CASE WHEN obs = 1 THEN n0_1 ELSE n0_0 END)
+                                  - (1 - p)
+                                  + CASE WHEN obs = 1 THEN 100.0
+                                         ELSE 10000.0 END)
+                                 / (n0_1 + n0_0 - (1 - p) + 10100.0))) AS l0
+                   FROM j2 j JOIN c2 ON c2.attr = j.attr
+                                    AND c2.source = j.source
+                   GROUP BY j.entity, j.attr, j.v)
+            SELECT entity, attr, v,
+                   ROUND(1.0 / (1.0 + EXP(l0 - l1)), 6) AS post
+            FROM s2
         """,
         "truthfinder_string_weights": f"""
             WITH claims AS (

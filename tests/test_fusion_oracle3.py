@@ -90,3 +90,36 @@ def test_ltm_deterministic_and_sane(spark, claims_df):
     )
     acc = joined.agg(F.avg("ok")).collect()[0][0]
     assert acc and acc >= 0.8, f"LTM planted accuracy {acc}"
+
+
+def test_ltm_posterior_mean_separates_planted_truth(spark):
+    """The derandomized LTM (synchronous posterior-mean updates — the
+    driver-gated variant) must push a value claimed '1' by most sources far
+    above a value only one source states, and be exactly deterministic
+    across partitionings (no RNG anywhere)."""
+    from trustfuse_spark.operators.fusion.ltm import ltm_posterior_mean
+
+    rows = []
+    # 6 sources agree on v=1.0 for e0..e9; s_bad alone claims v=2.0
+    for e in range(10):
+        for s in range(6):
+            rows.append((0, f"s{s}", f"e{e}", "a", "1.0", 1.0, "quantity"))
+        rows.append((0, "s_bad", f"e{e}", "a", "2.0", 2.0, "quantity"))
+    claims = spark.createDataFrame(
+        rows,
+        "bucket_id int, source string, entity string, attr string,"
+        " value_str string, value_num double, claim_type string",
+    )
+    post = {
+        (r["entity"], r["vkey"]): r["posterior"]
+        for r in ltm_posterior_mean(claims, iters=2).collect()
+    }
+    for e in range(10):
+        assert post[(f"e{e}", "1.0")] > 0.9, post[(f"e{e}", "1.0")]
+        assert post[(f"e{e}", "2.0")] < post[(f"e{e}", "1.0")]
+    # determinism across partitionings (bit-exact: no sampler state)
+    p2 = {
+        (r["entity"], r["vkey"]): r["posterior"]
+        for r in ltm_posterior_mean(claims.repartition(16), iters=2).collect()
+    }
+    assert post == p2

@@ -138,6 +138,66 @@ def _gibbs_factory(max_itr: int, burnin: int, thin: int, seed: int):
     return sample
 
 
+def ltm_posterior_mean(claims: DataFrame, iters: int = 2) -> DataFrame:
+    """Derandomized LTM: synchronous posterior-mean (mean-field) updates in
+    pure DataFrame expressions — the driver-gateable twin of the collapsed
+    Gibbs sampler (`fuse_ltm` keeps the seeded-chain fidelity; this variant
+    replaces every stochastic flip with its expectation so the chain becomes
+    a closed-form 2-iteration recurrence a SQL oracle can replay exactly).
+
+    Per iteration (all facts update simultaneously — order-free, unlike
+    Gibbs's sequential sweep):
+
+      soft confusion counts per (bucket, attr, source):
+        n[t][o] = sum over claims with observation o of (t=1 ? p_i : 1-p_i)
+      per fact i and truth state t, removing the fact's own soft
+      contribution w_t(i) (w_1 = p_i, w_0 = 1-p_i):
+        l_t(i) = ln BETA[t] + sum_claims ln( (n[t][o] - w_t + ALPHA[t][o]) /
+                 (n[t][1] + n[t][0] - w_t + ALPHA[t][1] + ALPHA[t][0]) )
+        p_i' = 1 / (1 + exp(l_0 - l_1))
+
+    Same hyperpriors and the same `binary_claims` implicit-zero expansion as
+    the sampler, so the gate drives that shared path. Plan shape: per
+    iteration one hash agg into a tiny (bucket, attr, source) dim that joins
+    back BROADCAST, then one hash agg per fact — no per-row Python, no
+    driver collect. Returns (bucket_id, entity, attr, vkey, posterior).
+    """
+    import math
+
+    a11, a10 = ALPHA["1"]["1"], ALPHA["1"]["0"]
+    a01, a00 = ALPHA["0"]["1"], ALPHA["0"]["0"]
+    lnb = math.log(BETA["0"]) - math.log(BETA["1"])
+
+    bc = binary_claims(claims).localCheckpoint()
+    p = bc.select(*FACT_KEYS, "vkey").distinct().withColumn("p", F.lit(0.5))
+    is1 = F.col("obs") == "1"
+    w1, w0 = F.col("p"), 1 - F.col("p")
+    for _ in range(iters):
+        j = bc.join(p, [*FACT_KEYS, "vkey"])
+        counts = j.groupBy("bucket_id", "attr", "source").agg(
+            F.sum(F.when(is1, w1).otherwise(F.lit(0.0))).alias("n1_1"),
+            F.sum(F.when(~is1, w1).otherwise(F.lit(0.0))).alias("n1_0"),
+            F.sum(F.when(is1, w0).otherwise(F.lit(0.0))).alias("n0_1"),
+            F.sum(F.when(~is1, w0).otherwise(F.lit(0.0))).alias("n0_0"),
+        )
+        j2 = j.join(F.broadcast(counts), ["bucket_id", "attr", "source"])
+        n1o = F.when(is1, F.col("n1_1")).otherwise(F.col("n1_0"))
+        a1o = F.when(is1, F.lit(a11)).otherwise(F.lit(a10))
+        n0o = F.when(is1, F.col("n0_1")).otherwise(F.col("n0_0"))
+        a0o = F.when(is1, F.lit(a01)).otherwise(F.lit(a00))
+        r1 = (n1o - w1 + a1o) / (F.col("n1_1") + F.col("n1_0") - w1 + a11 + a10)
+        r0 = (n0o - w0 + a0o) / (F.col("n0_1") + F.col("n0_0") - w0 + a01 + a00)
+        scores = j2.groupBy(*FACT_KEYS, "vkey").agg(
+            F.sum(F.log(r1)).alias("l1"), F.sum(F.log(r0)).alias("l0")
+        )
+        p = scores.select(
+            *FACT_KEYS,
+            "vkey",
+            (1.0 / (1.0 + F.exp(F.col("l0") - F.col("l1") + F.lit(lnb)))).alias("p"),
+        )
+    return p.withColumnRenamed("p", "posterior")
+
+
 def fuse_ltm(
     claims: DataFrame,
     max_itr: int = 100,
