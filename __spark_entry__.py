@@ -1196,8 +1196,12 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is derived from the corpus itself — for every doc with doc_id % 37 == 0,
     the 8-gram starting at token 3 — so both engines can re-derive it. The
     corpus grams hit a broadcast join with the benchmark set; per-doc hit
-    counts come back as a left join (zeros included)."""
-    from trustfuse_spark.operators.curation import decontaminate
+    counts come back as a left join (zeros included). r5 also rides the
+    FUZZY variant (curation.contamination_overlap) on the same rows:
+    distinct-gram overlap fraction + the >= 1% flag — occurrence counts and
+    distinct-hit counts diverge on repeated grams, so both paths are
+    value-bearing."""
+    from trustfuse_spark.operators.curation import contamination_overlap, decontaminate
 
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
@@ -1205,10 +1209,14 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("doc_id") % 37 == 0) & (F.size(toks) >= 10))
         .select(F.concat_ws(" ", F.slice(toks, 3, 8)).alias("gram"))
     )
-    out = decontaminate(d, bench, n=8)
-    return out.select(
+    out = decontaminate(d, bench, n=8).select(
         "doc_id", "n_contaminated", F.col("contaminated").cast("int").alias("contaminated")
     )
+    fuzzy = contamination_overlap(d, bench, n=8, threshold=0.01).select(
+        "doc_id", "n_overlap", "overlap_frac",
+        F.col("fuzzy_contaminated").cast("int").alias("fuzzy_contaminated"),
+    )
+    return out.join(fuzzy, "doc_id")
 
 
 def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,24 +1503,144 @@ def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "doc_id")
 
 
+def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN pair tag-unioned (consolidated r5): brute-force cosine top-5
+    (gate='brute') and the IVF-probed top-5 (gate='ivf') — both oracled by
+    the exhaustive SQL scan (IVF with full probes is exact by design)."""
+    a = ann_topk(spark, sf_dir).select(F.lit("brute").alias("gate"), "qid", "cid", "sim_r", "rn")
+    b = ivf_ann_topk(spark, sf_dir).select(F.lit("ivf").alias("gate"), "qid", "cid", "sim_r", "rn")
+    return a.unionByName(b)
+
+
+def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRH pair tag-unioned (consolidated r5): the single SQL-form weight
+    step (gate='step1') and the full engine 2-iteration run (gate='engine2')."""
+    a = crh_weight_step(spark, sf_dir).select(F.lit("step1").alias("gate"), "source", "w")
+    b = crh_engine_weights(spark, sf_dir).select(F.lit("engine2").alias("gate"), "source", "w")
+    return a.unionByName(b)
+
+
+def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + W3 tag-unioned (consolidated r5): exact interpolated medians per
+    returnflag (gate='median') and the eps-floored population stddev CRH
+    denominator per partkey (gate='stddev'); metrics ride as doubles."""
+    a = median_exact(spark, sf_dir).select(
+        F.lit("median").alias("gate"),
+        F.col("l_returnflag").alias("key"),
+        F.col("median_qty").alias("m1"),
+        F.col("median_price").alias("m2"),
+    )
+    b = stddev_denom(spark, sf_dir).select(
+        F.lit("stddev").alias("gate"),
+        F.col("l_partkey").cast("string").alias("key"),
+        F.col("denom").alias("m1"),
+        F.col("n_claims").cast("double").alias("m2"),
+    )
+    return a.unionByName(b)
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact duplicated-span coverage (dedup.duplicated_spans,
+    the Lee et al. 2022 exact-substring signal as k-gram fingerprints): for
+    every doc, the EXACT union size of its word 6-grams that occur in >= 2
+    distinct documents (the sf0.01 corpus has ~1k naturally shared 6-grams).
+    Gate scale keys by the raw gram string (hash_grams=False — engine-
+    portable, collision-free); corpus runs use the xxhash64 path, which a
+    pytest pins equal on overlapping-span fixtures. The oracle re-derives
+    grams, the >=2-distinct-docs set, and the running-max interval union
+    independently in SQL windows."""
+    from trustfuse_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=6, min_docs=2, hash_grams=False)
+
+
+def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus LM pair tag-unioned: the top-40 vocabulary with rank +
+    cumulative coverage (gate='vocab') and the per-doc add-0.5-smoothed
+    bigram-LM mean log-prob quality score (gate='score') — lm.vocab_topk /
+    lm.bigram_lm_score. The oracle rebuilds both from scratch: bigram and
+    context counts as grouped CTEs, the vocab-size scalar as a subquery,
+    log-probs re-averaged per doc."""
+    from trustfuse_spark.operators.lm import bigram_lm_score, vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    a = vocab_topk(d, top_n=40).select(
+        F.lit("vocab").alias("gate"),
+        F.col("token").alias("key"),
+        F.col("cnt").cast("double").alias("m1"),
+        F.col("rank").cast("double").alias("m2"),
+        F.col("coverage").alias("m3"),
+    )
+    b = bigram_lm_score(d, alpha=0.5).select(
+        F.lit("score").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_bigrams").cast("double").alias("m1"),
+        F.col("avg_logprob").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+    )
+    return a.unionByName(b)
+
+
+def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG post-materialization quality stage (kg.canonicalize_predicates +
+    kg.validate_triples) over the SAME closed-form pipeline triples as
+    docs_pipeline_triples, with deterministic planted defects so every flag
+    is value-bearing: entity-ref objects are remapped into Q1000+vidx%150
+    (so ~2/3 resolve against the subject set and the rest dangle), quantity
+    objects of entities with id % 13 == 0 become 'n/a' (typing violation),
+    P_str objects of id % 29 == 0 become '' (null violation). Predicates
+    P_ent0/P_ent1/P_qty canonicalize via the alias dim; P_ent2 is left
+    unmapped, so its rows prove the keep-surface default AND that
+    un-aliased ref predicates are exempt from the dangling check."""
+    from trustfuse_spark.datagen import gen_docs
+    from trustfuse_spark.operators.kg import canonicalize_predicates, validate_triples
+    from trustfuse_spark.plans.pipeline import run_pipeline
+
+    docs = gen_docs(spark, 100, 10, 4)
+    triples, _ = run_pipeline(docs, model="majority")
+    eid = F.substring("subj", 2, 10).cast("int") - 1000
+    vidx = F.substring("obj", 2, 10).try_cast("int") - 50000
+    planted = triples.withColumn(
+        "obj",
+        F.when(
+            F.col("pred").isin("P_ent0", "P_ent1", "P_ent2"),
+            F.concat(F.lit("Q"), (1000 + vidx % 150).cast("string")),
+        )
+        .when((F.col("pred") == "P_qty") & (eid % 13 == 0), F.lit("n/a"))
+        .when((F.col("pred") == "P_str") & (eid % 29 == 0), F.lit(""))
+        .otherwise(F.col("obj")),
+    )
+    aliases = spark.createDataFrame(
+        [("P_ent0", "related_to"), ("P_ent1", "part_of"), ("P_qty", "quantity")],
+        "alias string, canonical string",
+    )
+    canon = canonicalize_predicates(planted, aliases)
+    out = validate_triples(
+        canon, numeric_preds=["quantity"], ref_preds=["related_to", "part_of"]
+    )
+    return out.select(
+        "subj", "pred", "pred_canon", "obj", "bucket_id",
+        "v_null", "v_numeric", "v_dangling", "n_violations",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
         "q6_forecast_revenue": q6_forecast_revenue,
         "mode_per_group": mode_per_group,
-        "median_exact": median_exact,
         "argmax_per_group": argmax_per_group,
-        "stddev_denom": stddev_denom,
+        "group_moments": group_moments,
         "session_close": session_close,
         "eval_set_ops": eval_set_ops,
         "dedup_exact": dedup_exact,
         "text_profile": text_profile,
         "majority_fusion_sql": majority_fusion_sql,
-        "crh_weight_step": crh_weight_step,
-        "ann_topk": ann_topk,
+        "ann_suite": ann_suite,
         "majority_engine": majority_engine,
-        "crh_engine_weights": crh_engine_weights,
+        "crh_suite": crh_suite,
         "truthfinder_engine_weights": truthfinder_engine_weights,
         "accu_engine_weights": accu_engine_weights,
         "catd_engine_weights": catd_engine_weights,
@@ -1527,7 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": minhash_neardup_docs,
         "simhash_suite": simhash_suite,
         "embedding_neardup": embedding_neardup,
-        "ivf_ann_topk": ivf_ann_topk,
+        "substring_dedup": substring_dedup,
+        "lm_suite": lm_suite,
+        "triple_quality": triple_quality,
         "docs_pipeline_triples": docs_pipeline_triples,
         "coordinate_fusion": coordinate_fusion,
         "cumulative_sets": cumulative_sets,
@@ -1823,6 +1953,163 @@ _MIX_APPLY_SQL = r"""
 """
 
 
+_MEDIAN_EXACT_SQL = """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+            FROM lineitem GROUP BY l_returnflag
+        """
+
+_STDDEV_DENOM_SQL = """
+            SELECT l_partkey,
+                   ROUND(GREATEST(COALESCE(stddev_pop(l_extendedprice), 0), 0.1), 6) AS denom,
+                   COUNT(*) AS n_claims
+            FROM lineitem GROUP BY l_partkey
+        """
+
+_CRH_STEP_SQL = f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (
+              SELECT entity, attr, quantile_cont(v, 0.5) AS med,
+                     GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
+              FROM claims GROUP BY entity, attr
+            ),
+            raw AS (
+              SELECT source, SUM((v - med) * (v - med) / sd) AS raw
+              FROM claims JOIN stats USING (entity, attr)
+              GROUP BY source
+            )
+            SELECT source,
+                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw)) ELSE 0.0 END, 6) AS w
+            FROM raw
+        """
+
+_CRH_ENGINE_SQL = f"""
+            WITH claims AS ({_CLAIMS_SQL}),
+            stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med,
+                             GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
+                      FROM claims GROUP BY entity, attr),
+            raw1 AS (SELECT source, SUM((v - med) * (v - med) / sd) AS raw
+                     FROM claims JOIN stats USING (entity, attr) GROUP BY source),
+            w1 AS (SELECT source,
+                          CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw1)) ELSE 0.0 END AS w
+                   FROM raw1),
+            cands AS (SELECT DISTINCT entity, attr, v AS cand FROM claims),
+            scored AS (
+              SELECT c.entity, c.attr, c.cand,
+                     SUM(w1.w * (c.cand - cl.v) * (c.cand - cl.v) / st.sd) AS loss
+              FROM cands c
+              JOIN claims cl ON cl.entity = c.entity AND cl.attr = c.attr
+              JOIN stats st ON st.entity = c.entity AND st.attr = c.attr
+              JOIN w1 ON w1.source = cl.source
+              GROUP BY c.entity, c.attr, c.cand),
+            truth1 AS (SELECT entity, attr, cand AS t FROM (
+              SELECT entity, attr, cand,
+                     ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                        ORDER BY loss ASC, cand ASC) AS rn
+              FROM scored) WHERE rn = 1),
+            raw2 AS (SELECT source, SUM((v - t) * (v - t) / sd) AS raw
+                     FROM claims JOIN stats USING (entity, attr)
+                                 JOIN truth1 USING (entity, attr)
+                     GROUP BY source)
+            SELECT source,
+                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw2)) ELSE 0.0 END, 6) AS w
+            FROM raw2
+        """
+
+_DOCS_TRIPLES_SQL = """
+            WITH base AS (
+              SELECT e.e, s.s, a.a
+              FROM generate_series(0, 99) AS e(e)
+              CROSS JOIN generate_series(0, 9) AS s(s)
+              CROSS JOIN generate_series(0, 5) AS a(a)),
+            m1 AS (
+              SELECT *, ((1469598103 + e + 1) * 2654435761) % 2147483647 AS h_e
+              FROM base),
+            m2 AS (
+              SELECT *,
+                     ((h_e + s + 1) * 2654435761) % 2147483647 AS h_es,
+                     ((h_e + a + 1) * 2654435761) % 2147483647 AS h_ea
+              FROM m1),
+            m3 AS (
+              SELECT *, ((h_es + a + 1) * 2654435761) % 2147483647 AS h_esa
+              FROM m2),
+            flags AS (
+              SELECT *,
+                     (((h_esa + 6) * 2654435761) % 2147483647) % 100 >= 30 AS present,
+                     (((h_esa + 8) * 2654435761) % 2147483647) % 100
+                       < (95 - (s % 9) * 5) AS is_true,
+                     (((h_esa + 12) * 2654435761) % 2147483647) % 3 AS wrong_j,
+                     (((h_ea + 18) * 2654435761) % 2147483647) % 1000 AS tv
+              FROM m3),
+            claims AS (
+              SELECT a % 4 AS bucket_id,
+                     'Q' || CAST(1000 + e AS VARCHAR) AS entity,
+                     ['P_ent0','P_ent1','P_ent2','P_qty','P_str','P_time'][a + 1] AS attr,
+                     a,
+                     CASE WHEN is_true THEN tv
+                          ELSE (tv + 129 + wrong_j * 173) % 1000 END AS vidx
+              FROM flags WHERE present),
+            typed AS (
+              SELECT bucket_id, entity, attr, a,
+                     CASE WHEN a < 3 THEN 'Q' || CAST(50000 + vidx AS VARCHAR)
+                          WHEN a = 4 THEN 'name_' || CAST(vidx AS VARCHAR)
+                          END AS value_str,
+                     CASE WHEN a = 3 THEN CAST(vidx % 900 + 100 AS DOUBLE)
+                          WHEN a = 5 THEN CAST((vidx % 24) * 60 + vidx % 60 AS DOUBLE)
+                          END AS value_num
+              FROM claims),
+            catcount AS (
+              SELECT bucket_id, entity, attr, value_str, COUNT(*) AS n
+              FROM typed WHERE a < 3 OR a = 4
+              GROUP BY bucket_id, entity, attr, value_str),
+            cat_truth AS (
+              SELECT bucket_id, entity, attr, value_str FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_id, entity, attr
+                                             ORDER BY n DESC, value_str ASC) AS rn
+                FROM catcount) WHERE rn = 1),
+            numc AS (SELECT bucket_id, entity, attr, value_num
+                     FROM typed WHERE a = 3 OR a = 5),
+            med AS (SELECT bucket_id, entity, attr,
+                           quantile_cont(value_num, 0.5) AS med
+                    FROM numc GROUP BY bucket_id, entity, attr),
+            numcand AS (SELECT DISTINCT bucket_id, entity, attr, value_num FROM numc),
+            num_truth AS (
+              SELECT bucket_id, entity, attr, value_num FROM (
+                SELECT c.*, ROW_NUMBER() OVER (
+                         PARTITION BY c.bucket_id, c.entity, c.attr
+                         ORDER BY ABS(c.value_num - m.med) ASC, c.value_num ASC) AS rn
+                FROM numcand c
+                JOIN med m ON m.bucket_id = c.bucket_id
+                          AND m.entity = c.entity AND m.attr = c.attr)
+              WHERE rn = 1)
+            SELECT entity AS subj, attr AS pred, value_str AS obj, bucket_id
+            FROM cat_truth
+            UNION ALL
+            SELECT entity AS subj, attr AS pred,
+                   format('{:,}', CAST(value_num AS BIGINT)) || '.000000' AS obj,
+                   bucket_id
+            FROM num_truth
+        """
+
+_ANN_BRUTE_SQL = """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+                 sims AS (
+                   SELECT qid, cid,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+                   FROM q CROSS JOIN c
+                 )
+            SELECT qid, cid, ROUND(sim, 4) AS sim_r, rn
+            FROM (
+              SELECT qid, cid, sim,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
+              FROM sims
+            ) WHERE rn <= 5
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     # CHECKED RULE — integer aggregates must be cast: DuckDB types SUM over
     # any integer expression as HUGEINT (int128), which surfaces as float64
@@ -1876,12 +2163,6 @@ def oracle_sql() -> dict[str, str]:
               FROM customer GROUP BY c_nationkey, c_mktsegment
             ) WHERE rn = 1
         """,
-        "median_exact": """
-            SELECT l_returnflag,
-                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
-            FROM lineitem GROUP BY l_returnflag
-        """,
         "argmax_per_group": """
             SELECT o_custkey, o_orderkey AS top_order, ROUND(o_totalprice, 2) AS top_price
             FROM (
@@ -1890,12 +2171,6 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders
             ) WHERE rn = 1
-        """,
-        "stddev_denom": """
-            SELECT l_partkey,
-                   ROUND(GREATEST(COALESCE(stddev_pop(l_extendedprice), 0), 0.1), 6) AS denom,
-                   COUNT(*) AS n_claims
-            FROM lineitem GROUP BY l_partkey
         """,
         # Consolidated r5 gate: both session gates tag-unioned (see
         # session_close docstring; bodies in _SESSION_*_SQL).
@@ -1957,38 +2232,6 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ) WHERE rn = 1
         """,
-        "crh_weight_step": f"""
-            WITH claims AS ({_CLAIMS_SQL}),
-            stats AS (
-              SELECT entity, attr, quantile_cont(v, 0.5) AS med,
-                     GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
-              FROM claims GROUP BY entity, attr
-            ),
-            raw AS (
-              SELECT source, SUM((v - med) * (v - med) / sd) AS raw
-              FROM claims JOIN stats USING (entity, attr)
-              GROUP BY source
-            )
-            SELECT source,
-                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw)) ELSE 0.0 END, 6) AS w
-            FROM raw
-        """,
-        "ann_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
-                 sims AS (
-                   SELECT qid, cid,
-                          list_dot_product(qv, cv) /
-                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
-                   FROM q CROSS JOIN c
-                 )
-            SELECT qid, cid, ROUND(sim, 4) AS sim_r, rn
-            FROM (
-              SELECT qid, cid, sim,
-                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
-              FROM sims
-            ) WHERE rn <= 5
-        """,
         # Recompute cosine from the embeddings view (+ the same
         # deterministic clone derivation) for the emitted pair ids.
         "embedding_neardup": """
@@ -2010,22 +2253,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(c, 4) AS cos_r
             FROM cos WHERE c >= 0.9
         """,
-        "ivf_ann_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
-                 sims AS (
-                   SELECT qid, cid,
-                          list_dot_product(qv, cv) /
-                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
-                   FROM q CROSS JOIN c
-                 )
-            SELECT qid, cid, ROUND(sim, 4) AS sim_r, rn
-            FROM (
-              SELECT qid, cid, sim,
-                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rn
-              FROM sims
-            ) WHERE rn <= 5
-        """,
         "majority_engine": f"""
             WITH claims AS ({_CLAIMS_SQL}),
             stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med
@@ -2038,38 +2265,6 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ABS(c.v - s.med) ASC, c.v ASC) AS rn
               FROM cands c JOIN stats s ON c.entity = s.entity AND c.attr = s.attr
             ) WHERE rn = 1
-        """,
-        "crh_engine_weights": f"""
-            WITH claims AS ({_CLAIMS_SQL}),
-            stats AS (SELECT entity, attr, quantile_cont(v, 0.5) AS med,
-                             GREATEST(COALESCE(stddev_pop(v), 0), 0.1) AS sd
-                      FROM claims GROUP BY entity, attr),
-            raw1 AS (SELECT source, SUM((v - med) * (v - med) / sd) AS raw
-                     FROM claims JOIN stats USING (entity, attr) GROUP BY source),
-            w1 AS (SELECT source,
-                          CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw1)) ELSE 0.0 END AS w
-                   FROM raw1),
-            cands AS (SELECT DISTINCT entity, attr, v AS cand FROM claims),
-            scored AS (
-              SELECT c.entity, c.attr, c.cand,
-                     SUM(w1.w * (c.cand - cl.v) * (c.cand - cl.v) / st.sd) AS loss
-              FROM cands c
-              JOIN claims cl ON cl.entity = c.entity AND cl.attr = c.attr
-              JOIN stats st ON st.entity = c.entity AND st.attr = c.attr
-              JOIN w1 ON w1.source = cl.source
-              GROUP BY c.entity, c.attr, c.cand),
-            truth1 AS (SELECT entity, attr, cand AS t FROM (
-              SELECT entity, attr, cand,
-                     ROW_NUMBER() OVER (PARTITION BY entity, attr
-                                        ORDER BY loss ASC, cand ASC) AS rn
-              FROM scored) WHERE rn = 1),
-            raw2 AS (SELECT source, SUM((v - t) * (v - t) / sd) AS raw
-                     FROM claims JOIN stats USING (entity, attr)
-                                 JOIN truth1 USING (entity, attr)
-                     GROUP BY source)
-            SELECT source,
-                   ROUND(CASE WHEN raw > 0 THEN -LN(raw / (SELECT SUM(raw) FROM raw2)) ELSE 0.0 END, 6) AS w
-            FROM raw2
         """,
         "truthfinder_engine_weights": f"""
             WITH claims AS ({_CLAIMS_SQL}),
@@ -2602,79 +2797,155 @@ def oracle_sql() -> dict[str, str]:
         # trim to 'name_V'; time 'H:MM' -> minutes. Numeric truth objects are
         # format_number(x, 6) = thousands-grouped integer + '.000000' (all
         # planted numerics are integral).
-        "docs_pipeline_triples": """
-            WITH base AS (
-              SELECT e.e, s.s, a.a
-              FROM generate_series(0, 99) AS e(e)
-              CROSS JOIN generate_series(0, 9) AS s(s)
-              CROSS JOIN generate_series(0, 5) AS a(a)),
-            m1 AS (
-              SELECT *, ((1469598103 + e + 1) * 2654435761) % 2147483647 AS h_e
-              FROM base),
-            m2 AS (
-              SELECT *,
-                     ((h_e + s + 1) * 2654435761) % 2147483647 AS h_es,
-                     ((h_e + a + 1) * 2654435761) % 2147483647 AS h_ea
-              FROM m1),
-            m3 AS (
-              SELECT *, ((h_es + a + 1) * 2654435761) % 2147483647 AS h_esa
-              FROM m2),
-            flags AS (
-              SELECT *,
-                     (((h_esa + 6) * 2654435761) % 2147483647) % 100 >= 30 AS present,
-                     (((h_esa + 8) * 2654435761) % 2147483647) % 100
-                       < (95 - (s % 9) * 5) AS is_true,
-                     (((h_esa + 12) * 2654435761) % 2147483647) % 3 AS wrong_j,
-                     (((h_ea + 18) * 2654435761) % 2147483647) % 1000 AS tv
-              FROM m3),
-            claims AS (
-              SELECT a % 4 AS bucket_id,
-                     'Q' || CAST(1000 + e AS VARCHAR) AS entity,
-                     ['P_ent0','P_ent1','P_ent2','P_qty','P_str','P_time'][a + 1] AS attr,
-                     a,
-                     CASE WHEN is_true THEN tv
-                          ELSE (tv + 129 + wrong_j * 173) % 1000 END AS vidx
-              FROM flags WHERE present),
-            typed AS (
-              SELECT bucket_id, entity, attr, a,
-                     CASE WHEN a < 3 THEN 'Q' || CAST(50000 + vidx AS VARCHAR)
-                          WHEN a = 4 THEN 'name_' || CAST(vidx AS VARCHAR)
-                          END AS value_str,
-                     CASE WHEN a = 3 THEN CAST(vidx % 900 + 100 AS DOUBLE)
-                          WHEN a = 5 THEN CAST((vidx % 24) * 60 + vidx % 60 AS DOUBLE)
-                          END AS value_num
-              FROM claims),
-            catcount AS (
-              SELECT bucket_id, entity, attr, value_str, COUNT(*) AS n
-              FROM typed WHERE a < 3 OR a = 4
-              GROUP BY bucket_id, entity, attr, value_str),
-            cat_truth AS (
-              SELECT bucket_id, entity, attr, value_str FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_id, entity, attr
-                                             ORDER BY n DESC, value_str ASC) AS rn
-                FROM catcount) WHERE rn = 1),
-            numc AS (SELECT bucket_id, entity, attr, value_num
-                     FROM typed WHERE a = 3 OR a = 5),
-            med AS (SELECT bucket_id, entity, attr,
-                           quantile_cont(value_num, 0.5) AS med
-                    FROM numc GROUP BY bucket_id, entity, attr),
-            numcand AS (SELECT DISTINCT bucket_id, entity, attr, value_num FROM numc),
-            num_truth AS (
-              SELECT bucket_id, entity, attr, value_num FROM (
-                SELECT c.*, ROW_NUMBER() OVER (
-                         PARTITION BY c.bucket_id, c.entity, c.attr
-                         ORDER BY ABS(c.value_num - m.med) ASC, c.value_num ASC) AS rn
-                FROM numcand c
-                JOIN med m ON m.bucket_id = c.bucket_id
-                          AND m.entity = c.entity AND m.attr = c.attr)
-              WHERE rn = 1)
-            SELECT entity AS subj, attr AS pred, value_str AS obj, bucket_id
-            FROM cat_truth
+        "docs_pipeline_triples": _DOCS_TRIPLES_SQL,
+        # Consolidated r5 gate: exact medians + eps-floored stddev denoms
+        # tag-unioned (integer n_claims rides as DOUBLE per the cast rule).
+        "group_moments": f"""
+            SELECT 'median' AS gate, l_returnflag AS key,
+                   median_qty AS m1, median_price AS m2
+            FROM ({_MEDIAN_EXACT_SQL})
             UNION ALL
-            SELECT entity AS subj, attr AS pred,
-                   format('{:,}', CAST(value_num AS BIGINT)) || '.000000' AS obj,
-                   bucket_id
-            FROM num_truth
+            SELECT 'stddev' AS gate, CAST(l_partkey AS VARCHAR) AS key,
+                   denom AS m1, CAST(n_claims AS DOUBLE) AS m2
+            FROM ({_STDDEV_DENOM_SQL})
+        """,
+        # Consolidated r5 gate: both ANN paths against the SAME exhaustive
+        # scan (IVF with all probes is exact by construction).
+        "ann_suite": f"""
+            SELECT 'brute' AS gate, qid, cid, sim_r, rn FROM ({_ANN_BRUTE_SQL})
+            UNION ALL
+            SELECT 'ivf' AS gate, qid, cid, sim_r, rn FROM ({_ANN_BRUTE_SQL})
+        """,
+        # Consolidated r5 gate: the one-step CRH weight update and the full
+        # 2-iteration engine run, tag-unioned.
+        "crh_suite": f"""
+            SELECT 'step1' AS gate, source, w FROM ({_CRH_STEP_SQL})
+            UNION ALL
+            SELECT 'engine2' AS gate, source, w FROM ({_CRH_ENGINE_SQL})
+        """,
+        # Duplicated-span coverage: re-derive 6-grams, the >=2-distinct-doc
+        # gram set, and the interval-union coverage (running-max window)
+        # entirely in SQL. dup_tokens is a SUM of ints -> CAST AS BIGINT
+        # (the HUGEINT fetch-path rule).
+        "substring_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 5, 0) + 1)) AS i
+              FROM toks),
+            g AS (
+              SELECT doc_id, i AS start,
+                     array_to_string(t[i:i+5], ' ') AS gram
+              FROM idx),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+            cov AS (
+              SELECT doc_id, start,
+                     GREATEST(0, start + 6 - GREATEST(COALESCE(
+                       MAX(start + 6) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       start), start)) AS c
+              FROM m),
+            per AS (SELECT doc_id, SUM(c) AS dup_tokens FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, len(t.t) AS n_tokens,
+                   CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   ROUND(CASE WHEN len(t.t) > 0
+                              THEN COALESCE(p.dup_tokens, 0) / len(t.t)
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM toks t LEFT JOIN per p USING (doc_id)
+        """,
+        # Corpus LM suite: top-40 vocabulary (rank + cumulative coverage)
+        # and per-doc add-0.5 bigram-LM mean log-prob, both rebuilt from
+        # scratch (grouped counts, scalar vocab size, re-averaged logs).
+        "lm_suite": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS t
+              FROM documents),
+            alltok AS (SELECT unnest(t) AS token FROM toks),
+            vocab AS (SELECT COUNT(DISTINCT token) AS v FROM alltok),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM alltok GROUP BY token),
+            total AS (SELECT SUM(cnt) AS tot FROM counts),
+            top AS (
+              SELECT token, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+              FROM counts QUALIFY rank <= 40),
+            vrows AS (
+              SELECT 'vocab' AS gate, token AS key, CAST(cnt AS DOUBLE) AS m1,
+                     CAST(rank AS DOUBLE) AS m2,
+                     ROUND(SUM(cnt) OVER (ORDER BY rank
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           / (SELECT tot FROM total), 6) AS m3
+              FROM top),
+            bidx AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+              FROM toks),
+            bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bidx),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+            c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+            lm AS (
+              SELECT w1, w2,
+                     LN((c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vocab))) AS logp
+              FROM c2 JOIN c1 USING (w1)),
+            sc AS (
+              SELECT doc_id, COUNT(*) AS nb, AVG(logp) AS alp
+              FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)
+            SELECT * FROM vrows
+            UNION ALL
+            SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
+                   CAST(COALESCE(s.nb, 0) AS DOUBLE) AS m1,
+                   ROUND(s.alp, 6) AS m2, CAST(NULL AS DOUBLE) AS m3
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        # KG triple quality over the same closed-form pipeline triples:
+        # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,
+        # '' on id % 29 strings), alias canonicalization, and the three
+        # constraint flags re-derived independently.
+        "triple_quality": f"""
+            WITH t AS ({_DOCS_TRIPLES_SQL}),
+            x AS (
+              SELECT subj, pred, bucket_id,
+                     CASE WHEN pred IN ('P_ent0', 'P_ent1', 'P_ent2')
+                          THEN 'Q' || CAST(1000 +
+                               (CAST(SUBSTR(obj, 2) AS INT) - 50000) % 150
+                               AS VARCHAR)
+                          WHEN pred = 'P_qty'
+                               AND (CAST(SUBSTR(subj, 2) AS INT) - 1000) % 13 = 0
+                          THEN 'n/a'
+                          WHEN pred = 'P_str'
+                               AND (CAST(SUBSTR(subj, 2) AS INT) - 1000) % 29 = 0
+                          THEN ''
+                          ELSE obj END AS obj
+              FROM t),
+            c AS (
+              SELECT *, CASE pred WHEN 'P_ent0' THEN 'related_to'
+                                  WHEN 'P_ent1' THEN 'part_of'
+                                  WHEN 'P_qty' THEN 'quantity'
+                                  ELSE pred END AS pred_canon
+              FROM x),
+            subs AS (SELECT DISTINCT subj AS sref FROM c),
+            v AS (
+              SELECT c.subj, c.pred, c.pred_canon, c.obj, c.bucket_id,
+                     CAST(c.obj IS NULL OR TRIM(c.obj) = '' AS INT) AS v_null,
+                     CAST(c.pred_canon = 'quantity' AND c.obj IS NOT NULL
+                          AND TRY_CAST(REPLACE(c.obj, ',', '') AS DOUBLE) IS NULL
+                          AS INT) AS v_numeric,
+                     CAST(c.pred_canon IN ('related_to', 'part_of')
+                          AND c.obj IS NOT NULL AND s.sref IS NULL
+                          AS INT) AS v_dangling
+              FROM c LEFT JOIN subs s ON s.sref = c.obj)
+            SELECT subj, pred, pred_canon, obj, bucket_id,
+                   v_null, v_numeric, v_dangling,
+                   v_null + v_numeric + v_dangling AS n_violations
+            FROM v
         """,
         # Recompute exact 3-gram Jaccard from raw text for the pairs the LSH
         # emitted (ids read from the query's deterministic pair exchange; the
@@ -2876,10 +3147,28 @@ def oracle_sql() -> dict[str, str]:
                     FROM toks WHERE len(t) >= 8), UNNEST(gs) AS u(gram)),
             hits AS (
               SELECT g.doc_id, COUNT(*) AS n
-              FROM grams g JOIN bench b USING (gram) GROUP BY g.doc_id)
+              FROM grams g JOIN bench b USING (gram) GROUP BY g.doc_id),
+            dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+            dtot AS (SELECT doc_id, COUNT(*) AS ng FROM dg GROUP BY doc_id),
+            dhit AS (
+              SELECT dg.doc_id, COUNT(*) AS no
+              FROM dg JOIN bench b USING (gram) GROUP BY dg.doc_id),
+            fz AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(dh.no, 0) AS BIGINT) AS n_overlap,
+                     ROUND(CASE WHEN COALESCE(dt.ng, 0) > 0
+                                THEN COALESCE(dh.no, 0) / dt.ng
+                                ELSE 0.0 END, 6) AS overlap_frac
+              FROM documents d
+              LEFT JOIN dtot dt USING (doc_id)
+              LEFT JOIN dhit dh USING (doc_id))
             SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated,
-                   CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated
-            FROM documents d LEFT JOIN hits h USING (doc_id)
+                   CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated,
+                   fz.n_overlap, fz.overlap_frac,
+                   CAST(fz.overlap_frac >= 0.01 AS INT) AS fuzzy_contaminated
+            FROM documents d
+            LEFT JOIN hits h USING (doc_id)
+            JOIN fz USING (doc_id)
         """,
         # PII scan + redaction over deterministically planted spans; the
         # redacted string is compared verbatim, so regex span semantics

@@ -1,0 +1,213 @@
+"""Tests for round-5 corpus operators: duplicated-span dedup, corpus LM
+scoring, vocabulary building, fuzzy decontamination, and KG triple quality
+(predicate canonicalization + constraint validation)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trustfuse_spark.operators.curation import contamination_overlap
+from trustfuse_spark.operators.dedup import duplicated_spans
+from trustfuse_spark.operators.kg import canonicalize_predicates, validate_triples
+from trustfuse_spark.operators.lm import bigram_lm_score, vocab_topk
+
+
+def _brute_dup_coverage(texts: dict[int, str], k: int, min_docs: int):
+    """Reference implementation: per-doc union of duplicated k-gram spans."""
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[s : s + k]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - k + 1):
+            if tuple(ts[s : s + k]) in dup:
+                covered.update(range(s, s + k))
+        out[i] = (len(ts), len(covered))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "once upon a time the quick brown fox ran far away",
+        2: "completely unrelated words with zero duplication here today",
+        3: "the quick brown fox jumps over the moon tonight friends",
+        # overlapping duplicated windows inside one doc
+        4: "a b c d e a b c d e a b c d e",
+        5: "x y a b c d e z w a b c d e q",
+        6: "tiny",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    return texts, df
+
+
+def test_duplicated_spans_matches_bruteforce(spark, corpus):
+    texts, df = corpus
+    for k in (3, 5):
+        ref = _brute_dup_coverage(texts, k, 2)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+            for r in duplicated_spans(df, k=k, hash_grams=False).collect()
+        }
+        assert got == ref, f"k={k}"
+
+
+def test_duplicated_spans_hash_matches_string_keys(spark, corpus):
+    _, df = corpus
+    a = sorted(duplicated_spans(df, k=4, hash_grams=True).collect())
+    b = sorted(duplicated_spans(df, k=4, hash_grams=False).collect())
+    assert a == b
+
+
+def test_duplicated_spans_min_docs(spark, corpus):
+    texts, df = corpus
+    ref = _brute_dup_coverage(texts, 3, 3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicated_spans(df, k=3, min_docs=3, hash_grams=False).collect()
+    }
+    assert got == ref
+
+
+def test_bigram_lm_score_matches_manual(spark):
+    texts = {
+        0: "a b a b c",
+        1: "a b c a",
+        2: "c c a b",
+        3: "solo",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    alpha = 0.5
+    # manual reference
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for t in texts.values():
+        ts = t.split()
+        vocab.update(ts)
+        for i in range(len(ts) - 1):
+            c2[(ts[i], ts[i + 1])] = c2.get((ts[i], ts[i + 1]), 0) + 1
+            c1[ts[i]] = c1.get(ts[i], 0) + 1
+    V = len(vocab)
+    expected = {}
+    for did, t in texts.items():
+        ts = t.split()
+        lps = [
+            math.log((c2[(ts[i], ts[i + 1])] + alpha) / (c1[ts[i]] + alpha * V))
+            for i in range(len(ts) - 1)
+        ]
+        expected[did] = (len(lps), sum(lps) / len(lps) if lps else None)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_score(df, alpha=alpha).collect()
+    }
+    assert set(got) == set(expected)
+    for did in expected:
+        assert got[did][0] == expected[did][0]
+        if expected[did][1] is None:
+            assert got[did][1] is None
+        else:
+            assert got[did][1] == pytest.approx(expected[did][1], abs=1e-6)
+
+
+def test_vocab_topk_rank_and_coverage(spark):
+    df = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a d b")], "doc_id long, text string"
+    )
+    rows = vocab_topk(df, top_n=3).orderBy("rank").collect()
+    # counts: b=4, a=3, c=1, d=1 -> top3 = b, a, c (tie c<d alphabetical)
+    assert [(r["token"], r["cnt"], r["rank"]) for r in rows] == [
+        ("b", 4, 1),
+        ("a", 3, 2),
+        ("c", 1, 3),
+    ]
+    assert rows[0]["coverage"] == pytest.approx(4 / 9, abs=1e-6)
+    assert rows[2]["coverage"] == pytest.approx(8 / 9, abs=1e-6)
+
+
+def test_contamination_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),   # grams(3): abc bcd cde def -> 2 hits / 4
+            (1, "a b c"),          # 1 gram, 1 hit -> 1.0
+            (2, "z z z z"),        # 1 DISTINCT gram, no hits
+            (3, "xy"),             # no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("a b c",), ("c d e",)], "gram string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_overlap"], r["overlap_frac"], r["fuzzy_contaminated"])
+        for r in contamination_overlap(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert got[0] == (4, 2, 0.5, True)
+    assert got[1] == (1, 1, 1.0, True)
+    assert got[2] == (1, 0, 0.0, False)
+    assert got[3] == (0, 0, 0.0, False)
+
+
+def test_contamination_overlap_counts_distinct_grams_once(spark):
+    d = spark.createDataFrame([(0, "a b a b a b")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b",), ("b a",)], "gram string")
+    row = contamination_overlap(d, bench, n=2).first()
+    # distinct grams = {a b, b a}; both hit -> 2/2, not occurrence-weighted
+    assert (row["n_grams"], row["n_overlap"], row["overlap_frac"]) == (2, 2, 1.0)
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("Q1", "P_qty", "1,234.000000", 0),
+        ("Q1", "P_ent0", "Q2", 0),
+        ("Q2", "P_ent0", "Q999", 0),   # dangling: Q999 never a subject
+        ("Q2", "P_qty", "not-a-number", 1),
+        ("Q3", "P_str", "hello", 1),
+        ("Q3", "P_str", "", 1),        # null-ish object
+        ("Q3", "P_ent1", None, 0),     # NULL object: v_null, not dangling
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, bucket_id int")
+
+
+def test_canonicalize_predicates(spark, triples):
+    aliases = spark.createDataFrame(
+        [("P_ent0", "related_to"), ("P_qty", "quantity")], "alias string, canonical string"
+    )
+    out = canonicalize_predicates(triples, aliases)
+    got = {(r["subj"], r["pred"], r["obj"]): r["pred_canon"] for r in out.collect()}
+    assert got[("Q1", "P_ent0", "Q2")] == "related_to"
+    assert got[("Q1", "P_qty", "1,234.000000")] == "quantity"
+    assert got[("Q3", "P_str", "hello")] == "P_str"  # unmapped keeps surface
+
+
+def test_validate_triples_flags(spark, triples):
+    aliases = spark.createDataFrame(
+        [("P_ent0", "related_to"), ("P_ent1", "related_to"), ("P_qty", "quantity")],
+        "alias string, canonical string",
+    )
+    canon = canonicalize_predicates(triples, aliases)
+    out = validate_triples(
+        canon, numeric_preds=["quantity"], ref_preds=["related_to"]
+    )
+    got = {
+        (r["subj"], r["pred"], str(r["obj"])): (
+            r["v_null"], r["v_numeric"], r["v_dangling"], r["n_violations"]
+        )
+        for r in out.collect()
+    }
+    assert got[("Q1", "P_qty", "1,234.000000")] == (0, 0, 0, 0)  # comma-number parses
+    assert got[("Q1", "P_ent0", "Q2")] == (0, 0, 0, 0)           # Q2 is a subject
+    assert got[("Q2", "P_ent0", "Q999")] == (0, 0, 1, 1)         # dangling
+    assert got[("Q2", "P_qty", "not-a-number")] == (0, 1, 0, 1)  # typing
+    assert got[("Q3", "P_str", "")] == (1, 0, 0, 1)              # empty obj
+    assert got[("Q3", "P_ent1", "None")] == (1, 0, 0, 1)         # NULL: null-flag only
+    assert out.count() == 7

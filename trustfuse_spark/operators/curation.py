@@ -95,6 +95,49 @@ def decontaminate(
     return out.withColumn("contaminated", F.col("n_contaminated") > 0)
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy decontamination: per-document *distinct* ``n``-gram Jaccard-style
+    overlap with the benchmark set — |distinct doc grams ∩ benchmark| /
+    |distinct doc grams| — flagging docs whose overlap fraction reaches
+    ``threshold`` even when no single gram run is verbatim-contiguous (the
+    near-duplicate-of-an-eval-item case `decontaminate`'s any-hit rule
+    treats the same as one stray collision).
+
+    Same plan shape as `decontaminate`: distinct grams explode map-side
+    (array_distinct before the explode), the benchmark stays a broadcast
+    dim, per-doc counts partial-aggregate. Docs with no grams (shorter than
+    ``n`` tokens) get overlap 0.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    bench = F.broadcast(benchmark.select("gram").distinct())
+    hits = grams.join(bench, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_overlap")
+    )
+    out = (
+        docs.join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)))
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_overlap") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("overlap_frac", F.round(frac, 6)).withColumn(
+        "fuzzy_contaminated", F.col("overlap_frac") >= threshold
+    )
+
+
 # Row-local decontamination tiers (streaming/curate.py and any append-mode
 # consumer): below _LITERAL_GRAM_CEILING the benchmark set ships as a plan
 # literal (zero Python, but arrays_overlap rebuilds a hash set from the

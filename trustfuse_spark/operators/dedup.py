@@ -515,3 +515,91 @@ def neardup_drop_ids(
     return comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("drop_id")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Corpus-level exact duplicated-span coverage: for every document, the
+    fraction of its tokens covered by some word ``k``-gram that also occurs
+    in at least ``min_docs`` distinct documents (the exact-substring dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — theirs is a suffix array over the concatenated corpus;
+    at Spark scale the equivalent per-doc surface is k-gram fingerprints,
+    which find every duplicated span of length >= k exactly).
+
+    Returns one row per input document: (id, n_tokens, dup_tokens,
+    dup_frac) — dup_tokens is the EXACT size of the union of all duplicated
+    k-token windows (overlapping windows are merged, not double-counted).
+
+    Plan shape (the 100-TB contract):
+      1. k-gram fingerprints explode map-side (explode of a sequence over
+         the token array — whole-stage codegen, no Python);
+      2. the duplicated-gram set is one hash agg keyed by the gram
+         fingerprint (8 bytes with ``hash_grams``) with a two-phase distinct
+         count — the only corpus-wide shuffle;
+      3. marking is a semi-join of the exploded grams against that set on
+         the same key (AQE broadcasts it when the duplicate set is small);
+      4. span-union coverage is a running-max window per document — a
+         shuffle keyed by doc id whose rows are only the *duplicated* gram
+         starts, not the corpus.
+
+    ``hash_grams=False`` keys stages 2-3 by the raw gram string instead of
+    ``xxhash64`` — exact (no collisions) and engine-portable, for gates and
+    tests; production runs hash (a collision merely marks one k-window as
+    duplicated spuriously, odds 2^-64 per distinct-gram pair).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    sel = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    n_grams = F.size("__toks") - (k - 1)
+    starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = _fan_out(sel).select(
+        "__id", F.explode(starts).alias("start"), F.col("__toks")
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("start"), k))
+    key = F.xxhash64(gram) if hash_grams else gram
+    exploded = exploded.select("__id", "start", key.alias("gkey"))
+    dup_keys = (
+        exploded.groupBy("gkey")
+        .agg(F.countDistinct("__id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gkey")
+    )
+    marked = exploded.join(dup_keys, "gkey", "left_semi")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("start") + k).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("start") + k - F.greatest(F.coalesce(prev_end, F.col("start")), F.col("start")),
+    )
+    per_doc = (
+        marked.withColumn("__c", contrib)
+        .groupBy("__id")
+        .agg(F.sum("__c").alias("dup_tokens"))
+    )
+    base = sel.select("__id", F.size("__toks").alias("n_tokens"))
+    out = base.join(per_doc, "__id", "left").withColumn(
+        "dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "dup_tokens",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("dup_tokens") / F.col("n_tokens")).otherwise(0.0),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1,0 +1,106 @@
+"""KG post-materialization quality stages: predicate canonicalization and
+triple constraint validation.
+
+The reference emits fused (entity, attribute, value) triples verbatim
+(generate_subgraph.py triple sets; visualization.py graph build) — a
+production KG-construction pipeline additionally (a) maps raw predicate
+surface forms onto a canonical ontology and (b) validates triples against
+per-predicate constraints before loading (SHACL-lite: object typing,
+null/empty objects, dangling entity references).
+
+Scale shapes (100-TB contract):
+
+- ``canonicalize_predicates``: the alias dim is ontology-sized (thousands of
+  rows) — an explicit broadcast left join, zero corpus shuffles.
+- ``validate_triples``: typing/null checks are pure expressions; the
+  dangling-reference check is a left-semi-shaped join of object references
+  against the distinct-subject set — at 10^12 triples that subject set is
+  itself huge, so this is an honest shuffled join on the node key (AQE
+  handles celebrity-node skew), not a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonicalize_predicates(
+    triples: DataFrame,
+    aliases: DataFrame,
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Map predicate surface forms to canonical ontology predicates.
+
+    ``aliases`` is a (alias, canonical) dim; predicates without an alias row
+    keep their surface form. Adds ``pred_canon`` next to the raw predicate.
+    """
+    dim = F.broadcast(
+        aliases.select(F.col("alias").alias(pred_col), F.col("canonical"))
+    )
+    return triples.join(dim, pred_col, "left").withColumn(
+        "pred_canon", F.coalesce(F.col("canonical"), F.col(pred_col))
+    ).drop("canonical")
+
+
+def validate_triples(
+    triples: DataFrame,
+    numeric_preds: list[str] | None = None,
+    ref_preds: list[str] | None = None,
+    pred_col: str = "pred_canon",
+    obj_col: str = "obj",
+    subj_col: str = "subj",
+) -> DataFrame:
+    """Per-triple constraint flags (SHACL-lite):
+
+    - ``v_null``: object NULL or empty after trim;
+    - ``v_numeric``: predicate in ``numeric_preds`` but object not castable
+      to double (range typing violation);
+    - ``v_dangling``: predicate in ``ref_preds`` (object must reference an
+      entity) but the object never occurs as a subject (referential
+      integrity).
+
+    ``n_violations`` sums the flags. Null/typing checks are expressions;
+    the dangling check joins object references against the distinct-subject
+    set — emitted rows keep the input order-free triple identity.
+    """
+    numeric_preds = numeric_preds or []
+    ref_preds = ref_preds or []
+    obj = F.col(obj_col)
+    out = triples.withColumn(
+        "v_null", (obj.isNull() | (F.trim(obj) == "")).cast("int")
+    )
+    if numeric_preds:
+        out = out.withColumn(
+            "v_numeric",
+            (
+                F.col(pred_col).isin(numeric_preds)
+                & obj.isNotNull()
+                # try_cast: NULL on unparseable, under ANSI and non-ANSI alike
+                & F.regexp_replace(obj, ",", "").try_cast("double").isNull()
+            ).cast("int"),
+        )
+    else:
+        out = out.withColumn("v_numeric", F.lit(0))
+    if ref_preds:
+        subjects = triples.select(F.col(subj_col).alias("__ref")).distinct()
+        refs = out.withColumn(
+            "__ref",
+            F.when(F.col(pred_col).isin(ref_preds), obj).otherwise(F.lit(None)),
+        )
+        resolved = refs.join(
+            subjects.withColumn("__hit", F.lit(1)), "__ref", "left"
+        )
+        out = resolved.withColumn(
+            "v_dangling",
+            (
+                F.col(pred_col).isin(ref_preds)
+                & obj.isNotNull()
+                & F.col("__hit").isNull()
+            ).cast("int"),
+        ).drop("__ref", "__hit")
+    else:
+        out = out.withColumn("v_dangling", F.lit(0))
+    return out.withColumn(
+        "n_violations", F.col("v_null") + F.col("v_numeric") + F.col("v_dangling")
+    )

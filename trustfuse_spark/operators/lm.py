@@ -1,0 +1,113 @@
+"""Corpus-level statistical language modeling for quality scoring.
+
+Training-data pipelines score documents against an n-gram LM (the CCNet /
+KenLM-perplexity filter pattern) and build bounded vocabularies for
+tokenizer training. Both fit Spark natively: the LM *is* a grouped count
+over the corpus, and scoring is a join of each document's n-grams against
+that count table.
+
+Scale shapes (100-TB contract):
+
+- ``vocab_topk``: one hash agg keyed by token (two-phase, map-side
+  combined) + a global top-k (TakeOrdered — no full sort materializes).
+- ``bigram_lm_score``: two hash aggs build the LM (bigram counts; context
+  counts derive from them without touching the corpus again); scoring joins
+  the exploded doc bigrams against the LM on the bigram key — a plain
+  shuffled hash join that AQE converts to broadcast when the LM is small
+  (bounded vocab). The vocabulary size scalar is the only driver value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text):
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens with
+    deterministic rank (count desc, token asc) and cumulative corpus
+    coverage in [0, 1] — the tokenizer-budget curve.
+
+    One token-keyed hash agg + a global top-k; the total-token scalar rides
+    as a cross-joined 1-row aggregate, never a driver collect.
+    """
+    toks = docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrdered — never a global sort of
+    # the full vocabulary); the rank/cumsum window then runs over top_n rows
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("coverage", F.round(F.sum("cnt").over(cum) / F.col("__total"), 6))
+        .select("token", "cnt", "rank", "coverage")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Score every document under a bigram LM estimated from the corpus
+    itself (add-``alpha`` smoothed): mean log P(w_i | w_{i-1}) over the
+    document's bigrams — the in-distribution/perplexity quality signal
+    (CCNet-style filtering without an external model).
+
+    P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V), V = |vocab|.
+
+    Returns (id, n_bigrams, avg_logprob); docs with fewer than 2 tokens get
+    n_bigrams 0 and NULL avg_logprob (nothing to score).
+
+    The context counts c(w1 ·) are derived FROM the bigram counts (sum per
+    w1) so the corpus is exploded exactly once for estimation; V is one
+    scalar aggregate. Scoring is a single join on (w1, w2).
+    """
+    toks = _tokens(F.col(text_col))
+    sel = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    n_bi = F.size("__toks") - 1
+    starts = F.when(n_bi >= 1, F.sequence(F.lit(1), n_bi)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = sel.select(
+        "__id",
+        F.explode(starts).alias("i"),
+        F.col("__toks"),
+    ).select(
+        "__id",
+        F.element_at("__toks", F.col("i")).alias("w1"),
+        F.element_at("__toks", F.col("i") + 1).alias("w2"),
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # vocabulary over ALL token positions (not just bigram firsts)
+    vocab_n = (
+        sel.select(F.explode("__toks").alias("t")).agg(F.countDistinct("t")).collect()[0][0]
+    ) or 0
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.log((F.col("c2") + alpha) / (F.col("c1") + alpha * vocab_n)).alias("logp"),
+    )
+    scored = bi.join(lm, ["w1", "w2"]).groupBy("__id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("logp").alias("avg_logprob")
+    )
+    base = sel.select("__id")
+    return (
+        base.join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+        )
+    )
