@@ -580,3 +580,86 @@ def apply_mixture(
         F.array().cast("array<int>")
     )
     return d.withColumn("epoch", F.explode(copies)).drop("rate")
+
+
+# The Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1) are the
+# standard HARD-GATE filter set — distinct from textstats.quality_features'
+# composite score: each rule is an independent boolean a curation run can
+# audit per-document. Implemented as pure Catalyst expressions (zero
+# shuffles, zero Python); the line-level Gopher rules (bullet/ellipsis
+# line fractions) need newline structure the synthetic corpus lacks and a
+# real corpus run enables the same way — they are expressions too.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_ngram: float = 0.4,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Per-document Gopher rule flags + the conjunctive ``gopher_keep``.
+
+    Rules (each an independent int flag, 1 = pass):
+
+    - ``r_word_count``: word count in [min_words, max_words];
+    - ``r_mean_len``: mean word length in [min_mean_len, max_mean_len];
+    - ``r_symbol``: (# + ellipsis)-to-word ratio <= max_symbol_ratio;
+    - ``r_alpha``: fraction of words containing a letter >= min_alpha_frac;
+    - ``r_stop``: at least ``min_stopwords`` DISTINCT stopwords from the
+      canonical 8-word list occur;
+    - ``r_dup``: duplicate ``dup_n``-gram fraction <= max_dup_ngram
+      (:func:`dup_ngram_ratio`).
+
+    Empty documents fail ``r_word_count`` and pass the ratio rules
+    vacuously (0-denominator ratios define to 0), matching the paper's
+    remove-then-filter order.
+    """
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_len = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_sym = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), 0)
+    )
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    dup_frac = dup_ngram_ratio(F.col(text_col), n=dup_n)
+
+    out = (
+        docs.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_len, 6))
+        .withColumn("r_word_count", n_words.between(min_words, max_words).cast("int"))
+        .withColumn(
+            "r_mean_len",
+            ((mean_len >= min_mean_len) & (mean_len <= max_mean_len)).cast("int"),
+        )
+        .withColumn("r_symbol", (sym_ratio <= max_symbol_ratio).cast("int"))
+        .withColumn("r_alpha", (alpha_frac >= min_alpha_frac).cast("int"))
+        .withColumn("r_stop", (n_stop >= min_stopwords).cast("int"))
+        .withColumn("r_dup", (dup_frac <= max_dup_ngram).cast("int"))
+    )
+    keep = (
+        F.col("r_word_count")
+        * F.col("r_mean_len")
+        * F.col("r_symbol")
+        * F.col("r_alpha")
+        * F.col("r_stop")
+        * F.col("r_dup")
+    )
+    return out.withColumn("gopher_keep", keep.cast("int"))

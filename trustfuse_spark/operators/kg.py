@@ -104,3 +104,41 @@ def validate_triples(
     return out.withColumn(
         "n_violations", F.col("v_null") + F.col("v_numeric") + F.col("v_dangling")
     )
+
+
+def to_ntriples(
+    triples: DataFrame,
+    base_iri: str = "http://example.org/",
+    pred_col: str = "pred_canon",
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    ref_preds: list[str] | None = None,
+) -> DataFrame:
+    """Serialize triples as W3C N-Triples lines (RDF 1.1 N-Triples §2.2):
+    subject and predicate as IRIs under ``base_iri``; objects as IRIs for
+    predicates in ``ref_preds`` (entity references), else as literals with
+    backslash/quote/newline/tab escaped per the spec's ECHAR table.
+
+    Pure string expressions — the sink is ``df.write.text`` ready, one
+    column ``ntriple``. The reference emits raw triple tuples
+    (generate_subgraph.py); this is the interchange-format edge of that
+    surface.
+    """
+    ref_preds = ref_preds or []
+
+    def iri(col):
+        return F.concat(F.lit("<" + base_iri), col, F.lit(">"))
+
+    esc = F.col(obj_col)
+    for raw, rep in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    literal = F.concat(F.lit('"'), esc, F.lit('"'))
+    obj_term = F.when(
+        F.col(pred_col).isin(ref_preds) & F.col(obj_col).rlike("^[A-Za-z0-9_]+$"),
+        iri(F.col(obj_col)),
+    ).otherwise(literal)
+    line = F.concat_ws(
+        " ", iri(F.col(subj_col)), iri(F.col(pred_col)), obj_term, F.lit(".")
+    )
+    return triples.select(line.alias("ntriple"))
