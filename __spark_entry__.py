@@ -1496,11 +1496,24 @@ def mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats joined on doc_id: heuristic lang-ID + BPE-ish
-    token count (lang_id_docs) and within-doc duplicate n-gram ratios
-    (doc_repetition) — one row per document covering both operators."""
+    token count (lang_id_docs), within-doc duplicate n-gram ratios
+    (doc_repetition), and the Rae et al. 2021 Gopher hard-gate rule flags
+    (curation.gopher_rules: word count, mean word length, symbol ratio,
+    alpha fraction, distinct stopwords, duplicate 3-gram fraction, plus the
+    conjunctive gopher_keep) — one row per document covering all three
+    operators; every flag and metric reaches the hash."""
+    from trustfuse_spark.operators.curation import gopher_rules
+
     a = lang_id_docs(spark, sf_dir)
     b = doc_repetition(spark, sf_dir)
-    return a.join(b, "doc_id")
+    # min_stopwords=1: the synthetic corpus carries exactly one canonical
+    # stopword ('the', ~3/4 of docs), so at the paper's default of 2 the
+    # flag would be constant-0 and hash-trivial; at 1 it splits the corpus.
+    g = gopher_rules(_t(spark, sf_dir, "documents"), min_stopwords=1).select(
+        "doc_id", "n_words", "mean_word_len", "r_word_count", "r_mean_len",
+        "r_symbol", "r_alpha", "r_stop", "r_dup", "gopher_keep",
+    )
+    return a.join(b, "doc_id").join(g, "doc_id")
 
 
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,6 +1550,142 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_claims").cast("double").alias("m2"),
     )
     return a.unionByName(b)
+
+
+def group_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + W1 tag-unioned (consolidated r5, frees a row for the asof
+    gate): per-nation majority segment with ascending tie-break
+    (gate='mode') and the per-customer argmax order pinned by key
+    (gate='argmax'); counts/prices ride as doubles."""
+    a = mode_per_group(spark, sf_dir).select(
+        F.lit("mode").alias("gate"),
+        F.col("c_nationkey").cast("string").alias("key"),
+        F.col("mode_segment").alias("val"),
+        F.col("votes").cast("double").alias("m1"),
+    )
+    b = argmax_per_group(spark, sf_dir).select(
+        F.lit("argmax").alias("gate"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("top_order").cast("string").alias("val"),
+        F.col("top_price").alias("m1"),
+    )
+    return a.unionByName(b)
+
+
+def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 graph surface tag-unioned (consolidated r5, frees a row for the
+    pagerank gate): fused-triple node degrees (gate='degrees') and the
+    3-hop directed ego subgraph with first-reach hop indices (gate='ego')."""
+    a = graph_degrees(spark, sf_dir).select(
+        F.lit("degrees").alias("gate"),
+        F.col("node").alias("a"),
+        F.lit("").alias("b"),
+        F.lit("").alias("c"),
+        F.col("out_deg").cast("long").alias("m1"),
+        F.col("in_deg").cast("long").alias("m2"),
+        F.col("degree").cast("long").alias("m3"),
+    )
+    b = graph_ego(spark, sf_dir).select(
+        F.lit("ego").alias("gate"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("pred").alias("c"),
+        F.col("hop").cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    return a.unionByName(b)
+
+
+def asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal operators (operators/temporal.py) over the events table:
+
+    - gate='asof' — backward-inclusive as-of join (tagged-union + running
+      last-non-null window; ONE exchange over |L|+|R| rows): every
+      non-purchase event picks up the latest purchase checkpoint at or
+      before its timestamp per user. The right side is deduplicated to
+      unique (user_id, ts) via max_by on event_id so tie semantics are
+      pinned; the ORACLE uses DuckDB's native ASOF LEFT JOIN — a completely
+      independent implementation of the same published semantics.
+    - gate='snap' — point-in-time KG snapshot (snapshot_asof): the latest
+      event per (user_id, event_type) with ts <= 2024-01-20, as ONE
+      max_by-struct hash agg; oracled by a ROW_NUMBER replay.
+
+    Values (value doubles, both timestamps, matched event ids) ride raw —
+    no arithmetic touches them, so the hash compares parquet-exact."""
+    import datetime
+
+    from trustfuse_spark.operators.temporal import asof_join, snapshot_asof
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("r_event"),
+            F.max_by("value", "event_id").alias("r_value"),
+        )
+    )
+    joined = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    a = joined.select(
+        F.lit("asof").alias("gate"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("ts_r").alias("ts2"),
+        F.col("r_event_r").cast("long").alias("i1"),
+        F.col("r_value_r").alias("d1"),
+    )
+    snap = snapshot_asof(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        as_of=datetime.datetime(2024, 1, 20),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+    )
+    b = snap.select(
+        F.lit("snap").alias("gate"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")
+        ).alias("key"),
+        F.col("ts"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.col("event_id").cast("long").alias("i1"),
+        F.col("value").alias("d1"),
+    )
+    return a.unionByName(b)
+
+
+def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance (graph.pagerank): 3 power iterations with exact
+    dangling-mass redistribution over the same event-derived 200-node edge
+    universe as graph_ego, minus all out-edges of nodes with id % 17 == 0 —
+    those 12 nodes still appear as destinations, so they are REAL dangling
+    nodes and the dmass/n correction term is value-bearing (drop it and
+    every rank shifts). The oracle unrolls the three iterations as chained
+    CTEs (dangling-mass scalar, per-dst contribution sum, rank update) —
+    a from-scratch replay of the recurrence, not the operator. Ranks are
+    rounded to 6 dp on both sides (sum-order float noise is ~1e-16 on
+    ranks ~5e-3)."""
+    from trustfuse_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("event_id") % 200
+    edges = (
+        ev.filter((a % 17) != 0)
+        .select(
+            F.concat(F.lit("n"), a.cast("string")).alias("src"),
+            F.concat(
+                F.lit("n"),
+                ((F.col("event_id") * 7 + F.col("user_id") % 5 + 1) % 200)
+                .cast("string"),
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,9 +1741,18 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_str objects of id % 29 == 0 become '' (null violation). Predicates
     P_ent0/P_ent1/P_qty canonicalize via the alias dim; P_ent2 is left
     unmapped, so its rows prove the keep-surface default AND that
-    un-aliased ref predicates are exempt from the dangling check."""
+    un-aliased ref predicates are exempt from the dangling check.
+
+    r5: also carries the RDF 1.1 N-Triples serialization of every row
+    (kg.to_ntriples) — aliased ref predicates emit IRI objects, everything
+    else (incl. unaliased P_ent2 and the planted ''/'n/a' defects) emits
+    escaped literals; the oracle rebuilds the line with SQL string ops."""
     from trustfuse_spark.datagen import gen_docs
-    from trustfuse_spark.operators.kg import canonicalize_predicates, validate_triples
+    from trustfuse_spark.operators.kg import (
+        canonicalize_predicates,
+        to_ntriples,
+        validate_triples,
+    )
     from trustfuse_spark.plans.pipeline import run_pipeline
 
     docs = gen_docs(spark, 100, 10, 4)
@@ -1619,9 +1777,12 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = validate_triples(
         canon, numeric_preds=["quantity"], ref_preds=["related_to", "part_of"]
     )
-    return out.select(
+    res = out.select(
         "subj", "pred", "pred_canon", "obj", "bucket_id",
         "v_null", "v_numeric", "v_dangling", "n_violations",
+    )
+    return to_ntriples(
+        res, ref_preds=["related_to", "part_of"], keep_cols=res.columns
     )
 
 
@@ -1630,8 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_unshipped": q3_top_unshipped,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "mode_per_group": mode_per_group,
-        "argmax_per_group": argmax_per_group,
+        "group_modes": group_modes,
         "group_moments": group_moments,
         "session_close": session_close,
         "eval_set_ops": eval_set_ops,
@@ -1662,14 +1822,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coordinate_fusion": coordinate_fusion,
         "cumulative_sets": cumulative_sets,
         "reverse_map_fused": reverse_map_fused,
-        "graph_degrees": graph_degrees,
+        "graph_suite": graph_suite,
         "evaluation_metrics": evaluation_metrics,
         "graph_components": graph_components,
         "specificity_mnad": specificity_mnad,
         "multimodal_decode": multimodal_decode,
         "scale_units_fixed": scale_units_fixed,
         "revision_diff_events": revision_diff_events,
-        "graph_ego": graph_ego,
+        "asof_suite": asof_suite,
+        "pagerank_graph": pagerank_graph,
         "decontaminate_docs": decontaminate_docs,
         "pii_scan_docs": pii_scan_docs,
         "textstats_docs": textstats_docs,
@@ -1840,6 +2001,126 @@ _SEEN_VALUES_SQL = """
     SELECT entity, attr,
            array_to_string(list_sort(list(value_str)), '|') AS values_seen
     FROM fs WHERE first_bucket <= 5 GROUP BY entity, attr
+"""
+
+_GRAPH_DEGREES_SQL = f"""
+    WITH claims AS ({_CLAIMS_SQL}),
+    counts AS (
+      SELECT entity, attr, v, COUNT(*) AS n FROM claims GROUP BY entity, attr, v
+    ),
+    fused AS (
+      SELECT entity, attr, v FROM (
+        SELECT entity, attr, v,
+               ROW_NUMBER() OVER (PARTITION BY entity, attr
+                                  ORDER BY n DESC, v ASC) AS rn
+        FROM counts) WHERE rn = 1),
+    edges AS (SELECT entity AS src, CAST(v AS VARCHAR) AS dst FROM fused),
+    outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(out_deg, 0) AS out_deg,
+           COALESCE(in_deg, 0) AS in_deg,
+           COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+    FROM outd o FULL JOIN ind i ON o.node = i.node
+"""
+
+_GRAPH_EGO_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT
+             'n' || CAST(event_id % 200 AS VARCHAR) AS src,
+             'n' || CAST((event_id * 7 + user_id % 5 + 1) % 200 AS VARCHAR)
+               AS dst,
+             event_type AS pred
+      FROM events
+    ),
+    h1 AS (SELECT e.*, 1 AS hop FROM edges e WHERE e.src = 'n0'),
+    f1 AS (SELECT DISTINCT dst AS node FROM h1),
+    h2 AS (SELECT e.*, 2 AS hop FROM edges e
+           WHERE e.src IN (SELECT node FROM f1)),
+    f2 AS (SELECT DISTINCT dst AS node FROM h2),
+    h3 AS (SELECT e.*, 3 AS hop FROM edges e
+           WHERE e.src IN (SELECT node FROM f2)),
+    u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+          UNION ALL SELECT * FROM h3)
+    SELECT src, dst, pred, MIN(hop) AS hop
+    FROM u GROUP BY src, dst, pred
+"""
+
+_MODE_SQL = """
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS votes
+    FROM (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ) WHERE rn = 1
+"""
+
+_ARGMAX_SQL = """
+    SELECT o_custkey, o_orderkey AS top_order, ROUND(o_totalprice, 2) AS top_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+"""
+
+# Gopher hard-gate rules (curation.gopher_rules) re-derived from scratch:
+# same whitespace tokenization as _DOC_REP_SQL, mean word length as a
+# list_sum over token lengths, #/ellipsis symbol count on the RAW text,
+# alpha fraction via per-token regex, distinct-stopword count by probing
+# the canonical 8-word list against the token list, duplicate-3-gram
+# fraction identical to the dup3 leg. Flags compare the UNROUNDED doubles
+# exactly as the Spark expressions do.
+_GOPHER_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(t) AS nw,
+             CASE WHEN len(t) > 0 THEN
+               list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+                 * 1.0 / len(t)
+             ELSE 0.0 END AS mean_len,
+             CASE WHEN len(t) > 0 THEN
+               len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / len(t)
+             ELSE 0.0 END AS sym_ratio,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                 * 1.0 / len(t)
+             ELSE 0.0 END AS alpha_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(t, s))) AS nstop,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END AS g3
+      FROM toks),
+    f AS (
+      SELECT doc_id, nw, mean_len, sym_ratio, alpha_frac, nstop,
+             CASE WHEN len(g3) > 0 THEN
+               ROUND(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+             ELSE 0.0 END AS dup_frac
+      FROM m)
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           ROUND(mean_len, 6) AS mean_word_len,
+           CAST(nw BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+           CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS r_mean_len,
+           CAST(sym_ratio <= 0.1 AS INT) AS r_symbol,
+           CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+           CAST(nstop >= 1 AS INT) AS r_stop,
+           CAST(dup_frac <= 0.4 AS INT) AS r_dup,
+           CAST(nw BETWEEN 50 AND 100000 AS INT)
+             * CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT)
+             * CAST(sym_ratio <= 0.1 AS INT)
+             * CAST(alpha_frac >= 0.8 AS INT)
+             * CAST(nstop >= 1 AS INT)
+             * CAST(dup_frac <= 0.4 AS INT) AS gopher_keep
+    FROM f
 """
 
 _DOC_REP_SQL = r"""
@@ -2154,23 +2435,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.03 AND 0.07
               AND l_quantity < 24
         """,
-        "mode_per_group": """
-            SELECT c_nationkey, c_mktsegment AS mode_segment, n AS votes
-            FROM (
-              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
-                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                                        ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
-              FROM customer GROUP BY c_nationkey, c_mktsegment
-            ) WHERE rn = 1
-        """,
-        "argmax_per_group": """
-            SELECT o_custkey, o_orderkey AS top_order, ROUND(o_totalprice, 2) AS top_price
-            FROM (
-              SELECT o_custkey, o_orderkey, o_totalprice,
-                     ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-              FROM orders
-            ) WHERE rn = 1
+        # Consolidated r5 gate: A1 mode + W1 argmax tag-unioned (bodies in
+        # _MODE_SQL / _ARGMAX_SQL; frees a driver row for asof_suite).
+        "group_modes": f"""
+            SELECT 'mode' AS gate, CAST(c_nationkey AS VARCHAR) AS key,
+                   mode_segment AS val, CAST(votes AS DOUBLE) AS m1
+            FROM ({_MODE_SQL})
+            UNION ALL
+            SELECT 'argmax', CAST(o_custkey AS VARCHAR),
+                   CAST(top_order AS VARCHAR), top_price
+            FROM ({_ARGMAX_SQL})
         """,
         # Consolidated r5 gate: both session gates tag-unioned (see
         # session_close docstring; bodies in _SESSION_*_SQL).
@@ -2692,25 +2966,19 @@ def oracle_sql() -> dict[str, str]:
               ON fs.entity = t.entity AND fs.attr = t.attr
              AND fs.value_str = CAST(t.v AS VARCHAR)
         """,
-        "graph_degrees": f"""
-            WITH claims AS ({_CLAIMS_SQL}),
-            counts AS (
-              SELECT entity, attr, v, COUNT(*) AS n FROM claims GROUP BY entity, attr, v
-            ),
-            fused AS (
-              SELECT entity, attr, v FROM (
-                SELECT entity, attr, v,
-                       ROW_NUMBER() OVER (PARTITION BY entity, attr
-                                          ORDER BY n DESC, v ASC) AS rn
-                FROM counts) WHERE rn = 1),
-            edges AS (SELECT entity AS src, CAST(v AS VARCHAR) AS dst FROM fused),
-            outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
-            ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst)
-            SELECT COALESCE(o.node, i.node) AS node,
-                   COALESCE(out_deg, 0) AS out_deg,
-                   COALESCE(in_deg, 0) AS in_deg,
-                   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
-            FROM outd o FULL JOIN ind i ON o.node = i.node
+        # Consolidated r5 gate: node degrees + 3-hop ego tag-unioned (bodies
+        # in _GRAPH_DEGREES_SQL / _GRAPH_EGO_SQL; frees a driver row for
+        # pagerank_graph).
+        "graph_suite": f"""
+            SELECT 'degrees' AS gate, node AS a, '' AS b, '' AS c,
+                   CAST(out_deg AS BIGINT) AS m1,
+                   CAST(in_deg AS BIGINT) AS m2,
+                   CAST(degree AS BIGINT) AS m3
+            FROM ({_GRAPH_DEGREES_SQL})
+            UNION ALL
+            SELECT 'ego', src, dst, pred, CAST(hop AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM ({_GRAPH_EGO_SQL})
         """,
         "evaluation_metrics": """
             WITH ev AS (
@@ -2941,11 +3209,26 @@ def oracle_sql() -> dict[str, str]:
                      CAST(c.pred_canon IN ('related_to', 'part_of')
                           AND c.obj IS NOT NULL AND s.sref IS NULL
                           AS INT) AS v_dangling
-              FROM c LEFT JOIN subs s ON s.sref = c.obj)
-            SELECT subj, pred, pred_canon, obj, bucket_id,
-                   v_null, v_numeric, v_dangling,
-                   v_null + v_numeric + v_dangling AS n_violations
-            FROM v
+              FROM c LEFT JOIN subs s ON s.sref = c.obj),
+            q AS (
+              SELECT subj, pred, pred_canon, obj, bucket_id,
+                     v_null, v_numeric, v_dangling,
+                     v_null + v_numeric + v_dangling AS n_violations
+              FROM v)
+            SELECT q.*,
+                   '<http://example.org/' || subj || '> <http://example.org/'
+                   || pred_canon || '> '
+                   || CASE WHEN pred_canon IN ('related_to', 'part_of')
+                                AND regexp_matches(obj, '^[A-Za-z0-9_]+$')
+                           THEN '<http://example.org/' || obj || '>'
+                           ELSE '"' ||
+                                replace(replace(replace(replace(replace(
+                                  obj, '\\', '\\\\'), '"', '\\"'),
+                                  chr(10), '\\n'), chr(13), '\\r'),
+                                  chr(9), '\\t')
+                                || '"'
+                      END || ' .' AS ntriple
+            FROM q
         """,
         # Recompute exact 3-gram Jaccard from raw text for the pairs the LSH
         # emitted (ids read from the query's deterministic pair exchange; the
@@ -3106,26 +3389,96 @@ def oracle_sql() -> dict[str, str]:
                      AS value
             FROM lagged
         """,
-        "graph_ego": """
+        # As-of join oracled by DuckDB's NATIVE ASOF LEFT JOIN (independent
+        # implementation of the same backward-inclusive semantics) + the
+        # point-in-time snapshot replayed as a ROW_NUMBER pick. Values ride
+        # raw (no arithmetic), so the hash compares parquet-exact doubles.
+        "asof_suite": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type <> 'purchase'),
+            r AS (
+              SELECT user_id, ts,
+                     arg_max(event_id, event_id) AS r_event,
+                     arg_max(value, event_id) AS r_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts),
+            a AS (
+              SELECT l.event_id, l.ts AS ts, r.ts AS ts2,
+                     r.r_event AS i1, r.r_value AS d1
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.ts),
+            s AS (
+              SELECT user_id, event_type, ts, event_id, value FROM (
+                SELECT user_id, event_type, ts, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') WHERE rn = 1)
+            SELECT 'asof' AS gate, CAST(event_id AS VARCHAR) AS key,
+                   ts, ts2, CAST(i1 AS BIGINT) AS i1, d1
+            FROM a
+            UNION ALL
+            SELECT 'snap', CAST(user_id AS VARCHAR) || '|' || event_type,
+                   ts, CAST(NULL AS TIMESTAMP), CAST(event_id AS BIGINT), value
+            FROM s
+        """,
+        # PageRank: the 3 power iterations unrolled as chained CTEs, each
+        # with its own dangling-mass scalar, per-dst contribution sum, and
+        # rank update — a from-scratch replay of the recurrence. Damping
+        # terms forced to DOUBLE so DuckDB's DECIMAL literals match Spark's
+        # float arithmetic; both sides round to 6 dp at the very end only.
+        "pagerank_graph": """
             WITH edges AS (
               SELECT DISTINCT
                      'n' || CAST(event_id % 200 AS VARCHAR) AS src,
-                     'n' || CAST((event_id * 7 + user_id % 5 + 1) % 200 AS VARCHAR)
-                       AS dst,
-                     event_type AS pred
-              FROM events
-            ),
-            h1 AS (SELECT e.*, 1 AS hop FROM edges e WHERE e.src = 'n0'),
-            f1 AS (SELECT DISTINCT dst AS node FROM h1),
-            h2 AS (SELECT e.*, 2 AS hop FROM edges e
-                   WHERE e.src IN (SELECT node FROM f1)),
-            f2 AS (SELECT DISTINCT dst AS node FROM h2),
-            h3 AS (SELECT e.*, 3 AS hop FROM edges e
-                   WHERE e.src IN (SELECT node FROM f2)),
-            u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
-                  UNION ALL SELECT * FROM h3)
-            SELECT src, dst, pred, MIN(hop) AS hop
-            FROM u GROUP BY src, dst, pred
+                     'n' || CAST((event_id * 7 + user_id % 5 + 1) % 200
+                                 AS VARCHAR) AS dst
+              FROM events WHERE (event_id % 200) % 17 <> 0),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM edges
+              UNION ALL SELECT dst FROM edges)),
+            outd AS (SELECT src AS node, COUNT(*) AS od
+                     FROM edges GROUP BY src),
+            base AS (SELECT n.node, o.od
+                     FROM nodes n LEFT JOIN outd o ON n.node = o.node),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+            r0 AS (SELECT node, od, 1.0 / (SELECT n FROM nn) AS rank
+                   FROM base),
+            d1 AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r0
+                   WHERE od IS NULL),
+            c1 AS (SELECT e.dst AS node, SUM(r.rank / r.od) AS ir
+                   FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+            r1 AS (SELECT b.node, b.od,
+                          (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                          + CAST(0.85 AS DOUBLE)
+                            * (COALESCE(c.ir, 0.0)
+                               + (SELECT dm FROM d1) / (SELECT n FROM nn))
+                            AS rank
+                   FROM base b LEFT JOIN c1 c ON b.node = c.node),
+            d2 AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r1
+                   WHERE od IS NULL),
+            c2 AS (SELECT e.dst AS node, SUM(r.rank / r.od) AS ir
+                   FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+            r2 AS (SELECT b.node, b.od,
+                          (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                          + CAST(0.85 AS DOUBLE)
+                            * (COALESCE(c.ir, 0.0)
+                               + (SELECT dm FROM d2) / (SELECT n FROM nn))
+                            AS rank
+                   FROM base b LEFT JOIN c2 c ON b.node = c.node),
+            d3 AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r2
+                   WHERE od IS NULL),
+            c3 AS (SELECT e.dst AS node, SUM(r.rank / r.od) AS ir
+                   FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+            r3 AS (SELECT b.node, b.od,
+                          (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                          + CAST(0.85 AS DOUBLE)
+                            * (COALESCE(c.ir, 0.0)
+                               + (SELECT dm FROM d3) / (SELECT n FROM nn))
+                            AS rank
+                   FROM base b LEFT JOIN c3 c ON b.node = c.node)
+            SELECT node, ROUND(rank, 6) AS rank FROM r3
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count
@@ -3212,8 +3565,11 @@ def oracle_sql() -> dict[str, str]:
         # _LANG_ID_SQL / _DOC_REP_SQL).
         "textstats_docs": f"""
             SELECT l.doc_id, l.lang, l.lang_pred, l.n_tokens_bpe,
-                   r.dup3, r.dup5
+                   r.dup3, r.dup5,
+                   g.n_words, g.mean_word_len, g.r_word_count, g.r_mean_len,
+                   g.r_symbol, g.r_alpha, g.r_stop, g.r_dup, g.gopher_keep
             FROM ({_LANG_ID_SQL}) l JOIN ({_DOC_REP_SQL}) r USING (doc_id)
+            JOIN ({_GOPHER_SQL}) g USING (doc_id)
         """,
         # Deterministic stratified sampling: the draw is the 31-bit
         # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)

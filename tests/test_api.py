@@ -121,3 +121,23 @@ def test_curate_pipeline_cli(spark, tmp_path):
     assert stats["n_docs_packed"] == packed.count() == len(ids)
     assert 38 <= len(ids) <= 40
     assert stats["n_bins"] >= 2
+
+
+def test_driver_gate_registry_cap():
+    """The driver's CORRECTNESS gate emits at most 50 rows (observed r4:
+    entries past #50 get NO row). Guard the contract: exactly 50 queries,
+    a same-keyed oracle for every one, and all entries callable."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_gate_test", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q, o = mod.queries(), mod.oracle_sql()
+    assert len(q) == 50, f"driver cap is 50 rows; got {len(q)} queries"
+    assert set(q) == set(o), (sorted(set(q) - set(o)), sorted(set(o) - set(q)))
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())

@@ -113,6 +113,7 @@ def to_ntriples(
     subj_col: str = "subj",
     obj_col: str = "obj",
     ref_preds: list[str] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Serialize triples as W3C N-Triples lines (RDF 1.1 N-Triples §2.2):
     subject and predicate as IRIs under ``base_iri``; objects as IRIs for
@@ -120,9 +121,10 @@ def to_ntriples(
     backslash/quote/newline/tab escaped per the spec's ECHAR table.
 
     Pure string expressions — the sink is ``df.write.text`` ready, one
-    column ``ntriple``. The reference emits raw triple tuples
-    (generate_subgraph.py); this is the interchange-format edge of that
-    surface.
+    column ``ntriple`` (pass ``keep_cols`` to carry source columns next to
+    the serialized line, e.g. for validation-flag-filtered exports). The
+    reference emits raw triple tuples (generate_subgraph.py); this is the
+    interchange-format edge of that surface.
     """
     ref_preds = ref_preds or []
 
@@ -141,4 +143,6 @@ def to_ntriples(
     line = F.concat_ws(
         " ", iri(F.col(subj_col)), iri(F.col(pred_col)), obj_term, F.lit(".")
     )
+    if keep_cols:
+        return triples.select(*keep_cols, line.alias("ntriple"))
     return triples.select(line.alias("ntriple"))
