@@ -705,18 +705,31 @@ def simhash_neardup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup VALUE gate (banded hyperplane LSH + cosine
-    verify). The corpus has no natural >= 0.9 pairs (max cosine 0.51), so
-    the query plants deterministic clones — vec_id < 50 duplicated at
-    +10000 with the first component shifted by 0.05 — a derivation the
-    oracle replicates in SQL. Pair exchange as in minhash_neardup_docs:
-    emitted (id_a, id_b) persist to .oracle_data/, the oracle recomputes
-    each pair's cosine from the embeddings view independently and
-    re-applies the threshold, value-gating the verify math and any false
-    positive (LSH recall stays pytest-gated)."""
+    """Embedding near-dup VALUE gate — TWO tagged legs over the same
+    planted-clone corpus (vec_id < 50 duplicated at +10000 with the first
+    component shifted by 0.05, a derivation the oracle replicates in SQL;
+    the raw corpus has no natural >= 0.9 pairs, max cosine 0.51):
+
+    * gate='lsh' — banded hyperplane LSH + cosine verify, pair exchange as
+      in minhash_neardup_docs: emitted (id_a, id_b) persist to
+      .oracle_data/, the oracle recomputes each pair's cosine from the
+      embeddings view independently and re-applies the threshold,
+      value-gating the verify math and any false positive (LSH recall
+      stays pytest-gated).
+    * gate='sem' — SemDeDup-style semantic dedup drop edges
+      (dedup.semantic_dedup, Abbas et al. 2023): at gate scale the cell
+      assignment is the portable `axis_sign_cells` (pure sign comparisons,
+      exactly replayable in SQL — the k-means production path is
+      pytest-gated), so the oracle re-derives cells, within-cell cosines,
+      the >= 0.95 threshold AND the argmax-keeper pick from scratch —
+      a fully closed-form leg, no exchange."""
     import os
 
-    from trustfuse_spark.operators.dedup import embedding_near_dups
+    from trustfuse_spark.operators.dedup import (
+        axis_sign_cells,
+        embedding_near_dups,
+        semantic_dedup,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -731,13 +744,25 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dups(allv, "vec_id", "embedding", threshold=0.9).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cos_r")
     )
-    base = os.path.basename(sf_dir.rstrip("/"))
-    if base != "sf0.01":  # pair exchange only at the correctness-gate scale
-        return pairs
-    path = f"/root/repo/.oracle_data/embedding_pairs_{base}"
-    # floor 25: 50 planted clone pairs exist at >=0.999 cosine; banded-LSH
-    # recall ~0.95 means an emitted set far below that is a real regression.
-    return _exchange_pairs(spark, pairs, path, 25, "embedding_neardup")
+    base_name = os.path.basename(sf_dir.rstrip("/"))
+    if base_name == "sf0.01":  # pair exchange only at the correctness-gate scale
+        path = f"/root/repo/.oracle_data/embedding_pairs_{base_name}"
+        # floor 25: 50 planted clone pairs exist at >=0.999 cosine; banded-LSH
+        # recall ~0.95 means an emitted set far below that is a real regression.
+        pairs = _exchange_pairs(spark, pairs, path, 25, "embedding_neardup")
+    sem = semantic_dedup(
+        allv, "vec_id", "embedding", threshold=0.95,
+        cell_expr=axis_sign_cells("embedding", 4),
+    ).select(
+        F.col("id").alias("id_a"),
+        F.col("keeper").alias("id_b"),
+        F.round("cosine", 4).alias("cos_r"),
+    )
+    return pairs.select(
+        F.lit("lsh").alias("gate"), F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cos_r"
+    ).unionByName(
+        sem.select(F.lit("sem").alias("gate"), F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cos_r")
+    )
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2506,8 +2531,11 @@ def oracle_sql() -> dict[str, str]:
               FROM counts
             ) WHERE rn = 1
         """,
-        # Recompute cosine from the embeddings view (+ the same
-        # deterministic clone derivation) for the emitted pair ids.
+        # Two legs: 'lsh' recomputes cosine from the embeddings view (+ the
+        # same deterministic clone derivation) for the emitted pair ids;
+        # 'sem' re-derives the SemDeDup leg fully from scratch — axis-sign
+        # cells (pure comparisons, engine-portable), within-cell cosine,
+        # threshold, and the argmax-cosine smaller-id keeper pick.
         "embedding_neardup": """
             WITH pair_ids AS (
               SELECT id_a, id_b
@@ -2523,9 +2551,30 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
               FROM pair_ids p
               JOIN allv a ON a.vec_id = p.id_a
-              JOIN allv b ON b.vec_id = p.id_b)
-            SELECT id_a, id_b, ROUND(c, 4) AS cos_r
+              JOIN allv b ON b.vec_id = p.id_b),
+            cells AS (
+              SELECT vec_id, v,
+                     (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS cell
+              FROM allv),
+            sem_scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND b.vec_id < a.vec_id),
+            sem_best AS (
+              SELECT id_a, id_b, c,
+                     ROW_NUMBER() OVER (PARTITION BY id_a
+                                        ORDER BY c DESC, id_b ASC) AS rn
+              FROM sem_scored WHERE c >= 0.95)
+            SELECT 'lsh' AS gate, id_a, id_b, ROUND(c, 4) AS cos_r
             FROM cos WHERE c >= 0.9
+            UNION ALL
+            SELECT 'sem' AS gate, id_a, id_b, ROUND(c, 4) AS cos_r
+            FROM sem_best WHERE rn = 1
         """,
         "majority_engine": f"""
             WITH claims AS ({_CLAIMS_SQL}),

@@ -118,3 +118,59 @@ def test_embedding_near_dups_bucket_cap(spark):
     assert capped.count() == 0  # all buckets oversized -> shed
     uncapped = embedding_near_dups(df, "vec_id", "embedding", max_bucket=10_000)
     assert uncapped.count() == 50 * 49 // 2
+
+def test_semantic_dedup_numpy_parity(spark):
+    """semantic_dedup with the portable axis-sign cells vs a numpy replay
+    of the exact SemDeDup rule (within-cell, cosine >= tau, keep smallest
+    id, keeper = argmax cosine tie-broken to the smaller id)."""
+    from trustfuse_spark.operators.dedup import axis_sign_cells, semantic_dedup
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 8)
+    vecs = []
+    for c in centers:
+        for _ in range(6):
+            vecs.append(c + 0.01 * rng.randn(8))
+    arr = np.array(vecs)
+    n_bits = 3
+    cells = [sum((1 << i) for i in range(n_bits) if v[i] > 0) for v in arr]
+    norms = np.linalg.norm(arr, axis=1)
+    cos = (arr @ arr.T) / np.outer(norms, norms)
+    expect = {}
+    for i in range(len(arr)):
+        cands = [
+            (cos[i, j], -j)
+            for j in range(i)
+            if cells[j] == cells[i] and cos[i, j] >= 0.95
+        ]
+        if cands:
+            c, nj = max(cands)
+            expect[i] = (-nj, round(c, 6))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.95,
+        cell_expr=axis_sign_cells("embedding", n_bits),
+    )
+    got = {r["id"]: (r["keeper"], round(r["cosine"], 6)) for r in out.collect()}
+    assert got == expect
+    assert expect, "test corpus must plant at least one drop edge"
+
+
+def test_semantic_dedup_kmeans_path(spark):
+    """Production path (trained k-means-lite centroids): every planted
+    exact clone is dropped against its original, nothing else is."""
+    from trustfuse_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(40, 8)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(5):  # exact clones -> cosine 1.0 regardless of cell
+        rows.append((100 + i, base[i].tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.999,
+                         ncells=4, kmeans_iters=2)
+    got = {(r["id"], r["keeper"]) for r in out.collect()}
+    assert got == {(100 + i, i) for i in range(5)}

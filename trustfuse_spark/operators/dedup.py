@@ -603,3 +603,98 @@ def duplicated_spans(
             6,
         ).alias("dup_frac"),
     )
+
+def axis_sign_cells(vec_col: str, n_bits: int = 4):
+    """Portable cell assignment for `semantic_dedup`: bit ``i`` of the cell
+    id is ``v[i+1] > 0``. Pure comparisons — no float arithmetic — so any
+    engine (Spark, DuckDB, numpy) derives the identical cell for the same
+    vector, which makes gates over the clustered pipeline exactly
+    replayable. It is a coarse stand-in for trained centroids (an axis-
+    aligned hyperplane per bit); production uses `semantic_dedup`'s default
+    k-means path and keeps this for correctness gates, mirroring
+    simhash's portable 31-bit gate variant."""
+    cell = F.lit(0)
+    for i in range(n_bits):
+        cell = cell + (F.element_at(F.col(vec_col), i + 1) > 0).cast("int") * (1 << i)
+    return cell
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    ncells: int = 16,
+    kmeans_iters: int = 2,
+    cell_expr=None,
+    max_cell: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare cosine ONLY
+    within a cluster, and drop every vector that has a smaller-id
+    in-cluster neighbor at cosine >= threshold. Returns the drop edges
+    ``(id, keeper, cosine)`` — ``keeper`` is the argmax-cosine smaller-id
+    neighbor (ties -> smaller keeper id; ids must be numeric for the tie
+    rule's negate trick).
+
+    Scale shape: cell assignment is ONE projection against a centroid
+    literal (zero joins — `ann._cell_expr`), the self-join shuffles on the
+    cell key only, oversized cells are shed by the same agg + broadcast
+    anti-join guard as the LSH blockers, and the per-vector argmax is a
+    map-side-combinable max(struct) hash agg. Comparisons per vector are
+    |cell|, not |corpus| — the SemDeDup contract that makes embedding dedup
+    tractable at 10^12 documents.
+
+    ``cell_expr`` overrides clustering with any deterministic Column (e.g.
+    `axis_sign_cells` for exactly-replayable gates); default is k-means-lite
+    centroids trained by `ann.train_centroids` (seeded, Lloyd ``kmeans_iters``
+    rounds).
+    """
+    from trustfuse_spark.operators.ann import _cell_expr, collect_centroids, train_centroids
+
+    if cell_expr is None:
+        cents = collect_centroids(
+            train_centroids(df, vec_col=vec_col, ncells=ncells, iters=kmeans_iters)
+        )
+        cell_expr = _cell_expr(cents, vec_col)
+    cells = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), cell_expr.alias("cell")
+    )
+    cells = _shed_hot_buckets(cells, ["cell"], max_cell)
+    a = cells.select("cell", F.col("id").alias("cand_id"), F.col("v").alias("va"))
+    b = cells.select("cell", F.col("id").alias("keeper"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("keeper") < F.col("cand_id"))
+        .select(
+            "cand_id",
+            "keeper",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    best = scored.groupBy("cand_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("keeper")).cast("double").alias("nk"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("cand_id").alias("id"),
+        (-F.col("m.nk")).cast("long").alias("keeper"),
+        F.col("m.c").alias("cosine"),
+    )
