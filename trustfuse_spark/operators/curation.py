@@ -377,6 +377,16 @@ def pack_sequences(
     cap = int(capacity)
     sentinel = cap + 1  # any carry fill > cap behaves identically: always breaks
 
+    # Materialize the pruned (grp, ord, tok) projection ONCE: the plan-choice
+    # count below and the packing job(s) each trigger a scan, and without this
+    # the caller's whole upstream chain (e.g. curate_corpus's dedup ->
+    # quality -> decontaminate -> sample) would re-run per scan — measured
+    # 2.3x on the curation pipeline. Narrow columns only (~tens of bytes/row),
+    # so at corpus scale this is the standard "materialize the work list"
+    # move; the chunked path below re-scans it twice more (summaries + pack)
+    # for free.
+    sel = sel.localCheckpoint(eager=False)  # lazy: the count job materializes it
+
     # plan-choice scalar (like ANN's centroid collect): biggest shard decides
     # whether the chunked machinery is needed at all
     n_max = sel.groupBy("grp").count().agg(F.max("count")).collect()[0][0] or 0
