@@ -5,7 +5,11 @@ MinHash-LSH candidate pairs -> exact-Jaccard verify -> connected components
 The default curate_corpus chain excludes near-dup by design (it is the most
 expensive optional stage); this harness prices it separately so the chain's
 published docs/s numbers can be composed with a measured near-dup cost
-(VERDICT r4 item 4). Protocol matches bench_scaling_curation.py: same job,
+(VERDICT r4 item 4). The stage is priced in its chain position — AFTER
+exact dedup, which curate_corpus always runs first: gen_docs' ~74
+near-identical revision copies per entity otherwise explode LSH candidate
+pairs combinatorially (measured: a 2-core run at E=96k did not finish in
+80 minutes raw, vs ~29k sane pairs post-dedup at E=24k). Protocol matches bench_scaling_curation.py: same job,
 two pinned parallelism levels (taskset + ActiveProcessorCount, fresh JVM),
 median of N repeats, efficiency = (T_small / T_big) / (cores_big /
 cores_small). --cores with one level (e.g. "8,8") prices a throughput-only
@@ -32,7 +36,8 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 from pyspark.sql import functions as F
 from trustfuse_spark.session import get_spark
 from trustfuse_spark.datagen import gen_docs
-from trustfuse_spark.operators.dedup import near_duplicates_minhash, neardup_drop_ids
+from trustfuse_spark.operators.dedup import (
+    exact_duplicates, near_duplicates_minhash, neardup_drop_ids)
 
 cores = {cores}
 spark = get_spark(app_name=f"neardup_scaling_{{cores}}",
@@ -49,14 +54,23 @@ corpus = docs.select(
         lambda s: s["text"])).alias("text"),
 ).localCheckpoint(eager=True)
 n_docs = corpus.count()
+# Price the stage in its chain position: curate_corpus runs exact dedup
+# FIRST, so the optional LSH pass only ever sees exact-dedup survivors.
+# On the raw gen_docs corpus the ~74 near-identical revision copies per
+# entity make LSH candidate pairs explode combinatorially (C(74,2) per
+# entity) — a corpus no sane pipeline would hand to MinHash.
+keep = exact_duplicates(corpus, "doc_id", "text").select(
+    F.col("rep_id").alias("doc_id"))
+reps = corpus.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+n_reps = reps.count()
 t0 = time.perf_counter()
-pairs = near_duplicates_minhash(corpus, "doc_id", "text", threshold=0.8)
+pairs = near_duplicates_minhash(reps, "doc_id", "text", threshold=0.8)
 drops = neardup_drop_ids(pairs)
 n_drop = drops.count()
 wall = time.perf_counter() - t0
-print(json.dumps({{"cores": cores, "n_docs": n_docs, "n_drop": n_drop,
-                   "wall_sec": round(wall, 2),
-                   "docs_per_sec": round(n_docs / wall, 1)}}))
+print(json.dumps({{"cores": cores, "n_docs": n_reps, "n_corpus": n_docs,
+                   "n_drop": n_drop, "wall_sec": round(wall, 2),
+                   "docs_per_sec": round(n_reps / wall, 1)}}))
 """
 
 
@@ -101,6 +115,7 @@ def main() -> None:
         med = _median(walls)
         cells.append({
             "cores": cores, "n_docs": runs[0]["n_docs"],
+            "n_corpus": runs[0]["n_corpus"],
             "n_drop": runs[0]["n_drop"], "walls_sec": walls,
             "median_wall_sec": round(med, 2),
             "spread": round((max(walls) - min(walls)) / med, 3),
@@ -112,7 +127,10 @@ def main() -> None:
     eff = (t_small / t_big) / (big / small)
     result = {
         "job": "neardup_minhash (LSH pairs -> exact verify -> CC -> drop list)",
-        "input": "synthetic interleaved docs, S=20, R=4 (text derived)",
+        "input": ("synthetic interleaved docs, S=20, R=4 (text derived), "
+                  "AFTER exact dedup — the stage's position in curate_corpus; "
+                  "n_docs = stage input (exact-dedup survivors), n_corpus = "
+                  "raw docs"),
         "cores": [small, big], "repeats": args.repeats,
         "rule": f"(median T{small} / median T{big}) / ({big}/{small})",
         "cells": cells, "efficiency": round(eff, 3),
