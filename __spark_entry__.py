@@ -1519,14 +1519,53 @@ def mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (curation.c4_rules) over a
+    deterministically line-structured twin of the documents table. The
+    synthetic corpus is single-line with zero punctuation — every C4 rule
+    would be constant on it — so the gate first reshapes each doc's tokens
+    into 5-token lines whose terminal punctuation, planted "javascript"
+    tokens, braces, and "lorem ipsum" prefixes are pure functions of
+    (doc_id, line index); the oracle rebuilds the SAME text and re-derives
+    every rule in SQL (same planted-input pattern as multimodal_decode).
+    The filtered-and-rejoined clean_text is hash-compared VERBATIM."""
+    from trustfuse_spark.operators.curation import c4_rules
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(5.0)).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.concat(
+            F.when((F.col("doc_id") + i) % 19 == 0, F.lit("lorem ipsum "))
+            .otherwise(F.lit("")),
+            F.array_join(F.slice(toks, (i * 5 + 1).cast("int"), 5), " "),
+            F.when((F.col("doc_id") * 7 + i) % 11 == 0, F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 17 == 0, F.lit(" {"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit(""))
+            .otherwise(F.lit(".")),
+        ),
+    )
+    structured = d.withColumn("text", F.array_join(lines, "\n"))
+    return c4_rules(structured, min_words_line=5, min_sentences=3).select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "c4_has_lorem", "c4_has_brace", "c4_keep", "clean_text",
+    )
+
+
 def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats joined on doc_id: heuristic lang-ID + BPE-ish
     token count (lang_id_docs), within-doc duplicate n-gram ratios
-    (doc_repetition), and the Rae et al. 2021 Gopher hard-gate rule flags
+    (doc_repetition), the Rae et al. 2021 Gopher hard-gate rule flags
     (curation.gopher_rules: word count, mean word length, symbol ratio,
     alpha fraction, distinct stopwords, duplicate 3-gram fraction, plus the
-    conjunctive gopher_keep) — one row per document covering all three
-    operators; every flag and metric reaches the hash."""
+    conjunctive gopher_keep), and the Raffel et al. 2020 C4 line-level
+    cleaning leg (c4_docs: line counts, sentence count, lorem/brace flags,
+    conjunctive c4_keep, and the cleaned text verbatim) — one row per
+    document covering all four operators; every flag and metric reaches
+    the hash."""
     from trustfuse_spark.operators.curation import gopher_rules
 
     a = lang_id_docs(spark, sf_dir)
@@ -1538,7 +1577,8 @@ def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "r_word_count", "r_mean_len",
         "r_symbol", "r_alpha", "r_stop", "r_dup", "gopher_keep",
     )
-    return a.join(b, "doc_id").join(g, "doc_id")
+    c = c4_docs(spark, sf_dir)
+    return a.join(b, "doc_id").join(g, "doc_id").join(c, "doc_id")
 
 
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2146,6 +2186,59 @@ _GOPHER_SQL = r"""
              * CAST(nstop >= 1 AS INT)
              * CAST(dup_frac <= 0.4 AS INT) AS gopher_keep
     FROM f
+"""
+
+# C4 line-level cleaning leg of the textstats gate. Rebuilds the gate's
+# deterministic line-structured text (5-token lines; lorem/javascript/
+# brace/terminal-punct plants are pure functions of doc_id + line index)
+# and re-derives every rule in SQL. COALESCE on array_to_string: DuckDB
+# returns NULL for an empty list where Spark's array_join returns ''.
+_C4_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(toks) / 5.0) AS BIGINT) - 1),
+                 i ->
+                   (CASE WHEN (doc_id + i) % 19 = 0
+                         THEN 'lorem ipsum ' ELSE '' END)
+                   || array_to_string(toks[i*5+1 : i*5+5], ' ')
+                   || (CASE WHEN (doc_id * 7 + i) % 11 = 0
+                            THEN ' javascript' ELSE '' END)
+                   || (CASE WHEN (doc_id + i) % 17 = 0
+                            THEN ' {' ELSE '' END)
+                   || (CASE WHEN (doc_id + i) % 3 = 0
+                            THEN '' ELSE '.' END)),
+               chr(10)) AS text
+      FROM tk),
+    c AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM st),
+    k AS (
+      SELECT doc_id, text, len(ls) AS n_lines,
+             list_filter(ls, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   x -> x != '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM c)
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(regexp_extract_all(
+                  COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]'))
+                AS BIGINT) AS n_sentences,
+           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS c4_has_lorem,
+           CAST(contains(text, '{') AS INT) AS c4_has_brace,
+           CAST(NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')
+                AND len(regexp_extract_all(
+                      COALESCE(array_to_string(kept, chr(10)), ''),
+                      '[.!?]')) >= 3
+                AS INT) AS c4_keep,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k
 """
 
 _DOC_REP_SQL = r"""
@@ -3616,9 +3709,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.lang, l.lang_pred, l.n_tokens_bpe,
                    r.dup3, r.dup5,
                    g.n_words, g.mean_word_len, g.r_word_count, g.r_mean_len,
-                   g.r_symbol, g.r_alpha, g.r_stop, g.r_dup, g.gopher_keep
+                   g.r_symbol, g.r_alpha, g.r_stop, g.r_dup, g.gopher_keep,
+                   c.n_lines, c.n_kept_lines, c.n_sentences,
+                   c.c4_has_lorem, c.c4_has_brace, c.c4_keep, c.clean_text
             FROM ({_LANG_ID_SQL}) l JOIN ({_DOC_REP_SQL}) r USING (doc_id)
             JOIN ({_GOPHER_SQL}) g USING (doc_id)
+            JOIN ({_C4_SQL}) c USING (doc_id)
         """,
         # Deterministic stratified sampling: the draw is the 31-bit
         # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)

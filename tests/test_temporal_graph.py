@@ -210,3 +210,85 @@ def test_ntriples_shapes(spark):
         "<http://example.org/Q1> <http://example.org/part_of> "
         "<http://example.org/Q2> ."
     )
+
+
+# ------------------------------------------------------------------ C4 rules
+
+
+def test_c4_line_rules(spark):
+    from trustfuse_spark.operators.curation import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines: kept / no terminal punct / too short / javascript
+            (1, "one two three four five.\n"
+                "six seven eight nine ten\n"
+                "short line.\n"
+                "uses JavaScript for styling ok."),
+            # lorem ipsum doc: lines clean but doc-level flag kills keep
+            (2, "lorem ipsum dolor sit amet one.\n"
+                "alpha beta gamma delta eps two.\n"
+                "alpha beta gamma delta eps tri."),
+            # brace doc
+            (3, "alpha beta gamma delta { code.\n"
+                "alpha beta gamma delta eps two.\n"
+                "alpha beta gamma delta eps tri."),
+            # clean doc with >= 3 sentences -> keep
+            (4, "alpha beta gamma delta one.\n"
+                "alpha beta gamma delta two!\n"
+                'alpha beta gamma delta "quoted"'),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 4
+    assert r1["n_kept_lines"] == 1  # only the first line survives all rules
+    assert r1["clean_text"] == "one two three four five."
+    assert r1["n_sentences"] == 1 and r1["c4_keep"] == 0
+
+    r2 = rows[2]
+    assert r2["n_kept_lines"] == 3 and r2["n_sentences"] == 3
+    assert r2["c4_has_lorem"] == 1 and r2["c4_keep"] == 0
+
+    r3 = rows[3]
+    # the brace line still ENDS in '.', so it is kept at line level...
+    assert r3["n_kept_lines"] == 3
+    # ...but the doc-level brace flag vetoes the doc
+    assert r3["c4_has_brace"] == 1 and r3["c4_keep"] == 0
+
+    r4 = rows[4]
+    assert r4["n_kept_lines"] == 3
+    # sentence count comes from terminal marks in the CLEANED text: the
+    # quoted line contributes 0 ('"' closes a line but is not [.!?])
+    assert r4["n_sentences"] == 2
+    assert r4["c4_keep"] == 0  # below min_sentences=3
+
+    kept = c4_rules(docs, min_sentences=2).where(F.col("c4_keep") == 1)
+    assert [r["doc_id"] for r in kept.collect()] == [4]
+
+
+def test_c4_all_lines_dropped(spark):
+    from trustfuse_spark.operators.curation import c4_rules
+
+    docs = spark.createDataFrame(
+        [(1, "no terminal punctuation here at all\nword")],
+        "doc_id long, text string",
+    )
+    r = c4_rules(docs).first()
+    assert r["n_kept_lines"] == 0 and r["clean_text"] == ""
+    assert r["n_sentences"] == 0 and r["c4_keep"] == 0
+
+
+def test_c4_min_words_line_knob(spark):
+    from trustfuse_spark.operators.curation import c4_rules
+
+    docs = spark.createDataFrame(
+        [(1, "one two three.\nalpha beta gamma delta epsilon.")],
+        "doc_id long, text string",
+    )
+    strict = c4_rules(docs, min_words_line=5).first()
+    loose = c4_rules(docs, min_words_line=3).first()
+    assert strict["n_kept_lines"] == 1
+    assert loose["n_kept_lines"] == 2

@@ -684,3 +684,62 @@ def gopher_rules(
         * F.col("r_dup")
     )
     return out.withColumn("gopher_keep", keep.cast("int"))
+
+
+def c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", section 2.2) — the classic web-corpus
+    cleanup pass that operates on LINES within a document, complementing
+    the document-level :func:`gopher_rules`:
+
+    - keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``);
+    - drop lines with fewer than ``min_words_line`` words;
+    - drop lines containing the word "javascript" (case-insensitive);
+    - flag documents containing "lorem ipsum" (case-insensitive) or a
+      curly brace, and documents whose CLEANED text has fewer than
+      ``min_sentences`` sentences (terminal-punctuation count) — the
+      conjunctive ``c4_keep`` is 1 only when all three document-level
+      checks pass.
+
+    Everything is a per-row Catalyst expression over a split-lines array
+    (split, filter lambda, array_join, regexp) — stateless map, zero
+    shuffles, codegen end-to-end: the 100-TB shape is "free" alongside any
+    scan. Returns the input plus ``n_lines``, ``n_kept_lines``,
+    ``n_sentences``, ``c4_has_lorem``, ``c4_has_brace``, ``c4_keep`` and
+    the filtered-and-rejoined ``clean_text``.
+    """
+
+    def _line_words(line: Column) -> Column:
+        return F.size(
+            F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
+        )
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]$')
+        & (_line_words(l) >= min_words_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), 0))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return (
+        docs.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("c4_has_lorem", has_lorem.cast("int"))
+        .withColumn("c4_has_brace", has_brace.cast("int"))
+        .withColumn(
+            "c4_keep",
+            (~has_lorem & ~has_brace & (n_sent >= min_sentences)).cast("int"),
+        )
+        .withColumn("clean_text", clean)
+    )
