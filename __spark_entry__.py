@@ -1555,17 +1555,74 @@ def c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet cross-document line dedup (curation.line_dedup) over a
+    boilerplate-planted line twin of the documents table: each doc's tokens
+    reshape into 5-token lines, docs with doc_id%3==0 get a constant
+    "subscribe..." header and docs with doc_id%2==0 a constant "all rights
+    reserved" footer — cross-doc duplicates by construction, so keep-first
+    dedup removes every planted occurrence except the corpus-wide minimum
+    (doc_id, idx). Content lines that collide after CCNet normalization
+    dedup too; the oracle rebuilds the SAME twin and replays the rule in
+    SQL. The deduped clean_text is hash-compared VERBATIM."""
+    from trustfuse_spark.operators.curation import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(5.0)).cast("long")
+    content = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, (i * 5 + 1).cast("int"), 5), " "),
+    )
+    header = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.lit("subscribe to our newsletter today")),
+    ).otherwise(F.array().cast("array<string>"))
+    footer = F.when(
+        F.col("doc_id") % 2 == 0, F.array(F.lit("all rights reserved"))
+    ).otherwise(F.array().cast("array<string>"))
+    twin = d.withColumn(
+        "text", F.array_join(F.concat(header, content, footer), "\n")
+    )
+    return line_dedup(twin).select(
+        "doc_id",
+        F.col("n_lines").alias("ld_n_lines"),
+        F.col("n_kept_lines").alias("ld_n_kept_lines"),
+        F.col("clean_text").alias("ld_clean_text"),
+    )
+
+
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scorer (curation.
+    hashed_linear_score) with a deterministic 64-bucket weight table
+    w[j] = (((j+1)*2654435761) % 1000 - 500)/1000 — the oracle rebuilds the
+    same table and replays the same in-order double fold, so the logit
+    matches bit-for-bit before the 6-decimal display rounding. Portable
+    poly31 bucketing at gate scale (production uses xxhash64)."""
+    from trustfuse_spark.operators.curation import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = [(((j + 1) * 2654435761) % 1000 - 500) / 1000.0 for j in range(64)]
+    out = hashed_linear_score(d, w, bias=0.05, portable_hash=True)
+    return out.select(
+        "doc_id", F.round("q_logit", 6).alias("q_logit"), "q_keep"
+    )
+
+
 def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats joined on doc_id: heuristic lang-ID + BPE-ish
     token count (lang_id_docs), within-doc duplicate n-gram ratios
     (doc_repetition), the Rae et al. 2021 Gopher hard-gate rule flags
     (curation.gopher_rules: word count, mean word length, symbol ratio,
     alpha fraction, distinct stopwords, duplicate 3-gram fraction, plus the
-    conjunctive gopher_keep), and the Raffel et al. 2020 C4 line-level
+    conjunctive gopher_keep), the Raffel et al. 2020 C4 line-level
     cleaning leg (c4_docs: line counts, sentence count, lorem/brace flags,
-    conjunctive c4_keep, and the cleaned text verbatim) — one row per
-    document covering all four operators; every flag and metric reaches
-    the hash."""
+    conjunctive c4_keep, and the cleaned text verbatim), the Wenzek et
+    al. 2020 CCNet cross-document line-dedup leg (line_dedup_docs: kept-line
+    counts + the deduped text verbatim), and the Joulin et al. 2017
+    fastText-style hashed linear quality score (quality_score_docs) — one
+    row per document covering all six operators; every flag and metric
+    reaches the hash."""
     from trustfuse_spark.operators.curation import gopher_rules
 
     a = lang_id_docs(spark, sf_dir)
@@ -1578,7 +1635,15 @@ def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_symbol", "r_alpha", "r_stop", "r_dup", "gopher_keep",
     )
     c = c4_docs(spark, sf_dir)
-    return a.join(b, "doc_id").join(g, "doc_id").join(c, "doc_id")
+    ld = line_dedup_docs(spark, sf_dir)
+    q = quality_score_docs(spark, sf_dir)
+    return (
+        a.join(b, "doc_id")
+        .join(g, "doc_id")
+        .join(c, "doc_id")
+        .join(ld, "doc_id")
+        .join(q, "doc_id")
+    )
 
 
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2239,6 +2304,92 @@ _C4_SQL = r"""
                 AS INT) AS c4_keep,
            COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
     FROM k
+"""
+
+# Hashed-linear quality-score leg of the textstats gate. Rebuilds the
+# deterministic 64-bucket weight table, buckets each token with the portable
+# poly31 char fold (seed 0, replayed via list_reduce with a prepended init),
+# and folds the weights IN TOKEN ORDER so the double sum is bit-identical to
+# Spark's F.aggregate before the display rounding. The keep flag derives
+# from the UNROUNDED logit; NULL logit (empty doc) -> keep 0.
+_QSCORE_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t != '') AS toks
+      FROM documents),
+    sc AS (
+      SELECT doc_id, len(toks) AS n,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(toks, t ->
+                   CAST((((CAST(list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              list_transform(generate_series(1, length(t)),
+                                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                            (a, c) -> (a * 31 + c) % 2147483647)
+                          AS BIGINT) % 64 + 1) * 2654435761) % 1000 - 500)
+                        AS DOUBLE) / 1000.0)),
+               (a, b) -> a + b) AS tot
+      FROM tk),
+    lg AS (
+      SELECT doc_id,
+             CASE WHEN n > 0 THEN 0.05 + tot / n END AS logit
+      FROM sc)
+    SELECT doc_id, round(logit, 6) AS q_logit,
+           CAST(COALESCE(logit >= 0, FALSE) AS INT) AS q_keep
+    FROM lg
+"""
+
+# CCNet line-dedup leg of the textstats gate. Rebuilds the gate's
+# boilerplate-planted line twin (5-token lines + deterministic header/footer
+# plants keyed on doc_id parity) and replays keep-first dedup in SQL: the
+# winner of each normalized line key is the minimum (doc_id, idx) encoded as
+# doc_id*1000000+idx (idx < 1e6 at any plausible gate scale). Empty
+# normalized keys (pure digits/punctuation) are exempt, mirroring the
+# operator. regexp_replace carries the 'g' flag — DuckDB replaces only the
+# first match by default where Spark replaces all.
+_LINE_DEDUP_SQL = r"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    st AS (
+      SELECT doc_id,
+             list_concat(
+               list_concat(
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ['subscribe to our newsletter today']
+                      ELSE []::VARCHAR[] END,
+                 list_transform(
+                   generate_series(0, CAST(ceil(len(toks) / 5.0) AS BIGINT) - 1),
+                   i -> array_to_string(toks[i*5+1 : i*5+5], ' '))),
+               CASE WHEN doc_id % 2 = 0
+                    THEN ['all rights reserved']
+                    ELSE []::VARCHAR[] END) AS ls
+      FROM tk),
+    l0 AS (
+      SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx FROM st),
+    l AS (
+      SELECT doc_id, idx, ls[idx] AS line,
+             trim(regexp_replace(regexp_replace(lower(ls[idx]),
+                                                '[^a-z ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS k
+      FROM l0),
+    w AS (
+      SELECT k, min(doc_id * 1000000 + idx) AS pos
+      FROM l WHERE k != '' GROUP BY k),
+    kept AS (
+      SELECT l.doc_id, l.idx, l.line
+      FROM l LEFT JOIN w ON l.k = w.k
+      WHERE l.k = '' OR l.doc_id * 1000000 + l.idx = w.pos),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT st.doc_id,
+           CAST(len(st.ls) AS BIGINT) AS ld_n_lines,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS ld_n_kept_lines,
+           COALESCE(agg.clean_text, '') AS ld_clean_text
+    FROM st LEFT JOIN agg USING (doc_id)
 """
 
 _DOC_REP_SQL = r"""
@@ -3711,10 +3862,14 @@ def oracle_sql() -> dict[str, str]:
                    g.n_words, g.mean_word_len, g.r_word_count, g.r_mean_len,
                    g.r_symbol, g.r_alpha, g.r_stop, g.r_dup, g.gopher_keep,
                    c.n_lines, c.n_kept_lines, c.n_sentences,
-                   c.c4_has_lorem, c.c4_has_brace, c.c4_keep, c.clean_text
+                   c.c4_has_lorem, c.c4_has_brace, c.c4_keep, c.clean_text,
+                   ld.ld_n_lines, ld.ld_n_kept_lines, ld.ld_clean_text,
+                   q.q_logit, q.q_keep
             FROM ({_LANG_ID_SQL}) l JOIN ({_DOC_REP_SQL}) r USING (doc_id)
             JOIN ({_GOPHER_SQL}) g USING (doc_id)
             JOIN ({_C4_SQL}) c USING (doc_id)
+            JOIN ({_LINE_DEDUP_SQL}) ld USING (doc_id)
+            JOIN ({_QSCORE_SQL}) q USING (doc_id)
         """,
         # Deterministic stratified sampling: the draw is the 31-bit
         # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)

@@ -488,3 +488,107 @@ def test_mixture_plan_zero_token_domain(spark):
     assert got["full"] == (5.0, 5)
     out = apply_mixture(df, plan.select("source", "rate"))
     assert sorted(r["doc_id"] for r in out.collect()) == ["d2"] * 5
+
+
+def test_line_dedup_keep_first(spark):
+    """CCNet cross-doc line dedup: the corpus-wide first occurrence of each
+    normalized line survives, every later occurrence is dropped, and lines
+    whose normalized form is empty are never deduplicated."""
+    from trustfuse_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha line\nSubscribe to our newsletter!\nbody one"),
+            # same boilerplate, different case/punct -> same normalized key
+            (2, "subscribe to our NEWSLETTER\nbody two\n1234"),
+            # within-doc duplicate collapses too; '1234' normalizes to ''
+            (3, "body three\nbody three\n1234"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_kept_lines"] == 3
+    assert rows[1]["clean_text"] == (
+        "unique alpha line\nSubscribe to our newsletter!\nbody one"
+    )
+    # doc 2 loses the boilerplate (doc 1 owns the key) but keeps '1234'
+    assert rows[2]["n_kept_lines"] == 2
+    assert rows[2]["clean_text"] == "body two\n1234"
+    # doc 3 keeps the FIRST 'body three' (idx order within the doc) + '1234'
+    assert rows[3]["n_kept_lines"] == 2
+    assert rows[3]["clean_text"] == "body three\n1234"
+
+
+def test_line_dedup_all_duplicates(spark):
+    from trustfuse_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same line\nsame line"), (2, "same line")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert rows[1]["n_kept_lines"] == 1 and rows[1]["clean_text"] == "same line"
+    assert rows[2]["n_kept_lines"] == 0 and rows[2]["clean_text"] == ""
+
+
+def test_normalize_line(spark):
+    from trustfuse_spark.operators.curation import normalize_line
+
+    df = spark.createDataFrame(
+        [("  All   Rights,  Reserved!! 2024 ",), ("1234!?",)], "s string"
+    )
+    got = [r[0] for r in df.select(normalize_line(F.col("s"))).collect()]
+    assert got == ["all rights reserved", ""]
+
+
+def _poly31_py(s: str) -> int:
+    h, m = 0, (1 << 31) - 1
+    for c in s:
+        h = (h * 31 + ord(c)) % m
+    return h
+
+
+def test_hashed_linear_score_portable(spark):
+    """fastText-style hashed linear scorer: logit == bias + mean of
+    w[poly31(token) % D] (hand-replicated fold), NULL logit / keep=0 on
+    empty docs."""
+    import math
+
+    from trustfuse_spark.operators.curation import hashed_linear_score
+
+    w = [0.5, -1.0, 2.0, -0.25]
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta beta gamma"), (2, ""), (3, "zz top")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(
+            docs, w, bias=0.1, portable_hash=True
+        ).collect()
+    }
+
+    def expected(text):
+        toks = [t for t in text.lower().split() if t]
+        return 0.1 + sum(w[_poly31_py(t) % 4] for t in toks) / len(toks)
+
+    for doc_id, text in [(1, "Alpha beta beta gamma"), (3, "zz top")]:
+        e = expected(text)
+        assert math.isclose(rows[doc_id]["q_logit"], e, rel_tol=1e-12)
+        assert rows[doc_id]["q_keep"] == (1 if e >= 0 else 0)
+    assert rows[2]["q_logit"] is None and rows[2]["q_keep"] == 0
+
+
+def test_hashed_linear_score_xxhash_deterministic(spark):
+    from trustfuse_spark.operators.curation import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    w = [((j * 37) % 11 - 5) / 10.0 for j in range(64)]
+    a = sorted(hashed_linear_score(docs, w).collect())
+    b = sorted(hashed_linear_score(docs, w).collect())
+    assert a == b
+    assert all(r["q_keep"] in (0, 1) for r in a)

@@ -28,10 +28,6 @@ def test_spark_submit_py_files(tmp_path):
         import pytest
 
         pytest.skip("spark-submit binary not on this machine")
-    if not os.path.isdir("/root/testdata/sf0.001"):
-        import pytest
-
-        pytest.skip("sf0.001 test fixture dir not on this machine")
     zip_base = tmp_path / "trustfuse_spark"
     shutil.make_archive(str(zip_base), "zip", REPO, "trustfuse_spark")
     env = dict(os.environ)
@@ -44,8 +40,10 @@ def test_spark_submit_py_files(tmp_path):
             "--py-files",
             str(zip_base) + ".zip",
             os.path.join(REPO, "scripts", "submit_job.py"),
-            "/root/testdata/sf0.001",
-            "majority",
+            "--entities", "200",
+            "--sources", "10",
+            "--model", "majority",
+            "--partitions", "8",
         ],
         cwd=tmp_path,  # NOT the repo: bare `import trustfuse_spark` must fail here
         env=env,
@@ -59,3 +57,5 @@ def test_spark_submit_py_files(tmp_path):
     out = json.loads(payload[-1])
     assert out["model"] == "majority"
     assert out["n_triples"] > 0
+    # provenance: the package must have been imported from the zip itself
+    assert "trustfuse_spark.zip" in out["pkg"], out["pkg"]

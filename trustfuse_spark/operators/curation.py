@@ -4,8 +4,10 @@ The reference pipeline curates *claims* (trustfuse `models/`, `dataset.py`);
 a 100-TB LLM training pipeline needs the same discipline on the *document*
 side. This module adds the curation stages that sit between raw ingest and
 fusion/training: benchmark decontamination, PII scan + redaction,
-within-document repetition scoring, deterministic stratified sampling,
-greedy sequence packing, and domain-mixture planning.
+within-document repetition scoring, Gopher/C4 rule gates, CCNet
+cross-document line dedup, fastText-style hashed linear quality scoring,
+deterministic stratified sampling, greedy sequence packing, and
+domain-mixture planning.
 
 Scale shapes (the 100-TB contract for each operator):
 
@@ -24,6 +26,11 @@ Scale shapes (the 100-TB contract for each operator):
   number of shards while each shard packs exactly and deterministically.
 - ``mixture_plan``: one partial aggregate over the corpus + arithmetic on a
   handful of domain rows.
+- ``line_dedup``: one hash aggregate keyed by the normalized line (min-pos
+  winner — no window, no sort), a key-co-partitioned mark join, one
+  doc-keyed reassembly shuffle of the surviving lines only.
+- ``hashed_linear_score``: stateless map — the weight table ships as a
+  literal array in the task binary, tokens hash JVM-side.
 """
 
 from __future__ import annotations
@@ -31,6 +38,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from trustfuse_spark.operators.dedup import _fan_out
 
 _POLY_M31 = (1 << 31) - 1
 
@@ -742,4 +751,157 @@ def c4_rules(
             (~has_lorem & ~has_brace & (n_sent >= min_sentences)).cast("int"),
         )
         .withColumn("clean_text", clean)
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    bias: float = 0.0,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Model-based quality scoring: a hashed bag-of-words linear classifier
+    (the fastText architecture of Joulin et al. 2017, arXiv:1607.01759,
+    which is how production corpora gate on learned quality — CCNet's LM
+    filter successor, FineWeb-Edu's educational-quality scorer). Training
+    happens offline; THIS operator is the inference path a 100-TB scan
+    needs: ``logit = bias + mean over tokens of weights[h(token) % D]``,
+    evaluated entirely as Catalyst expressions — tokens split per row, each
+    hashed into the weight table shipped as a literal array (weight tables
+    are a few thousand doubles — task-binary freight, no join, no shuffle,
+    no Python). Returns the input plus ``q_logit`` (exact arithmetic:
+    sum/count, no transcendentals) and ``q_keep`` (logit >= 0, i.e.
+    sigmoid >= 0.5).
+
+    ``portable_hash=True`` buckets tokens with the repo's 31-bit polynomial
+    char fold (engine-portable, used by gates/oracles); the default is
+    ``xxhash64`` (JVM-side, what a corpus run wants). Empty docs get a NULL
+    logit, never a 0/0 NaN.
+    """
+    d = len(weights)
+    toks = _tokens(F.col(text_col))
+    if portable_hash:
+        bucket = lambda t: _poly31(t) % d  # noqa: E731
+    else:
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(d))  # noqa: E731
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(w, (bucket(t) + 1).cast("int")),
+    )
+    n = F.size(toks)
+    logit = F.when(n > 0, F.lit(float(bias)) + total / n)
+    return docs.withColumn("q_logit", logit).withColumn(
+        "q_keep", F.coalesce((logit >= 0).cast("int"), F.lit(0))
+    )
+
+
+def _poly31(t: Column) -> Column:
+    """31-bit polynomial char fold — same family as `portable_uniform`
+    (h -> (h*31 + code) % (2^31-1), seed 0, no mix rounds): oracles
+    replicate it with list_reduce over generate_series + substring."""
+    idx = F.when(F.length(t) >= 1, F.sequence(F.lit(1), F.length(t))).otherwise(
+        F.array().cast("array<int>")
+    )
+    codes = F.transform(idx, lambda i: F.ascii(F.substring(t, i, 1)))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % F.lit(_POLY_M31),
+    )
+
+
+def normalize_line(line: Column) -> Column:
+    """CCNet-style aggressive line normalization for dedup keys (Wenzek et
+    al. 2020, arXiv:1911.00359 §4.1: lowercase, strip accents/digits/
+    punctuation before hashing so trivially-varying boilerplate collapses).
+    Portable subset: lowercase, drop everything outside ``[a-z ]``, collapse
+    runs of spaces, trim — the same regexes run verbatim on any oracle
+    engine."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(line), "[^a-z ]", ""), " +", " "
+        )
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line/paragraph deduplication (the CCNet preprocessing
+    pass, Wenzek et al. 2020: hash every normalized line, keep only the
+    corpus-wide FIRST occurrence of each hash). This is what strips
+    navigation menus, cookie banners, and "all rights reserved" footers from
+    web corpora — cross-document boilerplate that within-doc repetition
+    (``dup_ngram_ratio``) and k-gram span coverage (``dedup.duplicated_spans``
+    — a *signal*, not a rewrite) don't remove.
+
+    Keep-first is pinned deterministically: the winning occurrence of a line
+    key is the minimum (id, line index) pair, so re-runs, retries, and
+    speculative tasks all agree. Lines whose normalized form is empty
+    (pure digits/punctuation) are never deduplicated — they carry formatting,
+    not boilerplate, and hashing them together would delete every blank line
+    in the corpus after the first.
+
+    Plan shape (the 100-TB contract):
+      1. posexplode of the split-lines array — map-side, codegen;
+      2. winner per line key: ONE hash aggregate ``min(struct(id, idx))``
+         keyed by the normalized line (partial map-side combine; no window,
+         no sort);
+      3. marking: a join of the exploded lines against the winners on the
+         same key — co-partitioned with the aggregate output, so AQE plans
+         at most one extra exchange (and broadcasts when the distinct-line
+         set is small);
+      4. reassembly: one shuffle keyed by doc id — ``collect_list`` of
+         (idx, line) structs, ``sort_array``, ``array_join``. Rows shuffled
+         are the surviving lines only.
+
+    Returns one row per input document: (id, n_lines, n_kept_lines,
+    clean_text) where clean_text is the document with every non-first
+    duplicate line removed.
+    """
+    sel = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    )
+    keyed = _fan_out(sel).select(
+        "__id", "__idx", "__line", normalize_line(F.col("__line")).alias("__k")
+    )
+    winners = (
+        keyed.filter(F.col("__k") != "")
+        .groupBy("__k")
+        .agg(F.min(F.struct("__id", "__idx")).alias("__w"))
+    )
+    kept = keyed.join(winners, "__k", "left").filter(
+        (F.col("__k") == "")
+        | ((F.col("__w.__id") == F.col("__id")) & (F.col("__w.__idx") == F.col("__idx")))
+    )
+    out = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    n_lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        n_lines.join(out, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias(
+                "n_kept_lines"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
     )
