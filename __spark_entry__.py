@@ -1835,21 +1835,39 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus LM pair tag-unioned: the top-40 vocabulary with rank +
-    cumulative coverage (gate='vocab') and the per-doc add-0.5-smoothed
+    """Corpus LM triple tag-unioned: the top-40 vocabulary with rank +
+    cumulative coverage (gate='vocab'), the per-doc add-0.5-smoothed
     bigram-LM mean log-prob quality score (gate='score') — lm.vocab_topk /
-    lm.bigram_lm_score. The oracle rebuilds both from scratch: bigram and
-    context counts as grouped CTEs, the vocab-size scalar as a subquery,
-    log-probs re-averaged per doc."""
+    lm.bigram_lm_score — and the DSIR importance-resampling selection
+    (gate='dsir': curation.dsir_select, target = lang 'en', 32 portable
+    poly31 buckets, add-0.5 smoothing, Gumbel-top-100 on the portable
+    draw; m1=n_feats, m2=log_weight, m3=gumbel_key, m4=selected). The
+    oracle rebuilds all three from scratch: bigram and context counts as
+    grouped CTEs, the vocab-size scalar as a subquery, log-probs
+    re-averaged per doc, and the full DSIR chain — unigram+bigram features
+    re-hashed via list_reduce, bucket log-ratios, per-doc weight sums, the
+    Knuth-mixed uniform draw, and the top-k re-ranked with ROW_NUMBER.
+
+    The portable poly31 feature hash folds per CHARACTER through
+    interpreted HOFs (bounded gate/test inputs only — same contract as the
+    simhash gate), so it runs ONLY at the sf0.01 gate scale where the
+    oracle needs it; at every other scale the dsir leg runs the actual
+    corpus path — xxhash64 buckets and draw, JVM codegen — so the bench
+    times what a cluster would run."""
+    import os
+
+    from trustfuse_spark.operators.curation import dsir_select
     from trustfuse_spark.operators.lm import bigram_lm_score, vocab_topk
 
     d = _t(spark, sf_dir, "documents")
+    portable = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
     a = vocab_topk(d, top_n=40).select(
         F.lit("vocab").alias("gate"),
         F.col("token").alias("key"),
         F.col("cnt").cast("double").alias("m1"),
         F.col("rank").cast("double").alias("m2"),
         F.col("coverage").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
     )
     b = bigram_lm_score(d, alpha=0.5).select(
         F.lit("score").alias("gate"),
@@ -1857,8 +1875,20 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("double").alias("m1"),
         F.col("avg_logprob").alias("m2"),
         F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
     )
-    return a.unionByName(b)
+    c = dsir_select(
+        d, F.col("lang") == "en", k=100, n_buckets=32, lam=0.5, salt=3,
+        portable_hash=portable,
+    ).select(
+        F.lit("dsir").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_feats").cast("double").alias("m1"),
+        F.col("log_weight").alias("m2"),
+        F.col("gumbel_key").alias("m3"),
+        F.col("selected").cast("double").alias("m4"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3458,13 +3488,72 @@ def oracle_sql() -> dict[str, str]:
               FROM c2 JOIN c1 USING (w1)),
             sc AS (
               SELECT doc_id, COUNT(*) AS nb, AVG(logp) AS alp
-              FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)
-            SELECT * FROM vrows
+              FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id),
+            -- DSIR leg: unigram+bigram features, poly31 % 32 buckets,
+            -- add-0.5-smoothed target(lang='en')/raw bucket log-ratios,
+            -- per-doc weight sums, Gumbel-top-100 on the portable draw
+            -- (seed 7+salt=10, two Knuth mix rounds)
+            df AS (
+              SELECT doc_id, lang,
+                     list_concat(t, list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> t[i] || ' ' || t[i+1])) AS f
+              FROM toks JOIN (SELECT doc_id AS did, lang FROM documents)
+                ON doc_id = did),
+            dfx AS (
+              SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+                     CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(generate_series(1, length(feat)),
+                           i -> CAST(ascii(substr(feat, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647)
+                     AS BIGINT) % 32 AS b
+              FROM (SELECT doc_id, lang, unnest(f) AS feat FROM df)),
+            dbc AS (
+              SELECT b, COUNT(*) AS cr, SUM(tgt) AS ct FROM dfx GROUP BY b),
+            dtot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM dbc),
+            dlr AS (
+              SELECT b,
+                     LN((ct + 0.5) / ((SELECT tt FROM dtot) + 0.5 * 32))
+                     - LN((cr + 0.5) / ((SELECT tr FROM dtot) + 0.5 * 32))
+                     AS lrv
+              FROM dbc),
+            dsc AS (
+              SELECT doc_id, COUNT(*) AS nf, SUM(lrv) AS logw
+              FROM dfx JOIN dlr USING (b) GROUP BY doc_id),
+            dh AS (
+              SELECT d.doc_id,
+                     COALESCE(s.nf, 0) AS nf, COALESCE(s.logw, 0.0) AS logw,
+                     list_reduce(
+                       list_prepend(CAST(10 AS BIGINT), list_transform(
+                         generate_series(1, length(CAST(d.doc_id AS VARCHAR))),
+                         i -> CAST(ascii(substring(CAST(d.doc_id AS VARCHAR),
+                                                   i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h0
+              FROM documents d LEFT JOIN dsc s USING (doc_id)),
+            dg AS (
+              SELECT doc_id, nf, logw,
+                     logw - LN(-LN(greatest(
+                       ((((h0 + 1) * 2654435761) % 2147483647 + 1)
+                        * 2654435761) % 2147483647 / 2147483647.0,
+                       1e-9))) AS g
+              FROM dh),
+            dr AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id ASC) AS rk
+              FROM dg)
+            SELECT *, CAST(NULL AS DOUBLE) AS m4 FROM vrows
             UNION ALL
             SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
                    CAST(COALESCE(s.nb, 0) AS DOUBLE) AS m1,
-                   ROUND(s.alp, 6) AS m2, CAST(NULL AS DOUBLE) AS m3
+                   ROUND(s.alp, 6) AS m2, CAST(NULL AS DOUBLE) AS m3,
+                   CAST(NULL AS DOUBLE) AS m4
             FROM documents d LEFT JOIN sc s USING (doc_id)
+            UNION ALL
+            SELECT 'dsir' AS gate, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(nf AS DOUBLE) AS m1, ROUND(logw, 6) AS m2,
+                   ROUND(g, 6) AS m3,
+                   CAST(CAST(rk <= 100 AS INT) AS DOUBLE) AS m4
+            FROM dr
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,

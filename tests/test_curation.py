@@ -592,3 +592,109 @@ def test_hashed_linear_score_xxhash_deterministic(spark):
     b = sorted(hashed_linear_score(docs, w).collect())
     assert a == b
     assert all(r["q_keep"] in (0, 1) for r in a)
+
+
+def _uniform_py(s: str, salt: int) -> float:
+    m = (1 << 31) - 1
+    h = 7 + salt
+    for ch in s:
+        h = (h * 31 + ord(ch)) % m
+    for _ in range(2):
+        h = ((h + 1) * 2654435761) % m
+    return h / float(m)
+
+
+def test_dsir_select_portable_exact(spark):
+    """DSIR importance weights + Gumbel-top-k replicated end-to-end in
+    Python: bucket models (unigram+bigram poly31 hashing, add-lam
+    smoothing), per-doc log weights, the deterministic Gumbel key, and the
+    exact selected set."""
+    import math
+
+    from trustfuse_spark.operators.curation import dsir_select
+
+    texts = {
+        1: ("en", "the quick brown fox jumps over the lazy dog"),
+        2: ("en", "the cat sat on the mat with the hat"),
+        3: ("de", "der hund lief schnell durch den park heute"),
+        4: ("de", "die katze schlief auf dem warmen dach"),
+        5: ("en", "a dog and a fox ran through the field"),
+        6: ("zh", "spark rows shuffle join filter group agg window"),
+        7: ("en", ""),
+    }
+    docs = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in texts.items()],
+        "doc_id long, lang string, text string",
+    )
+    B, LAM, K, SALT = 16, 0.5, 3, 5
+
+    def feats(t):
+        toks = [x for x in t.lower().split() if x]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    cr, ct = [0] * B, [0] * B
+    for i, (lang, t) in texts.items():
+        for f in feats(t):
+            b = _poly31_py(f) % B
+            cr[b] += 1
+            ct[b] += 1 if lang == "en" else 0
+    tr, tt = sum(cr), sum(ct)
+    lr = [
+        math.log((ct[b] + LAM) / (tt + LAM * B))
+        - math.log((cr[b] + LAM) / (tr + LAM * B))
+        for b in range(B)
+    ]
+    exp = {}
+    for i, (lang, t) in texts.items():
+        fs = feats(t)
+        logw = sum(lr[_poly31_py(f) % B] for f in fs)
+        u = max(_uniform_py(str(i), SALT), 1e-9)
+        g = logw - math.log(-math.log(u))
+        exp[i] = (len(fs), logw, g)
+    order = sorted(exp, key=lambda i: (-exp[i][2], i))
+    sel = set(order[:K])
+
+    out = {
+        r["doc_id"]: r
+        for r in dsir_select(
+            docs,
+            F.col("lang") == "en",
+            k=K,
+            n_buckets=B,
+            lam=LAM,
+            salt=SALT,
+            portable_hash=True,
+        ).collect()
+    }
+    assert set(out) == set(texts)
+    for i, (nf, logw, g) in exp.items():
+        assert out[i]["n_feats"] == nf
+        assert out[i]["log_weight"] == pytest.approx(round(logw, 6), abs=1e-6)
+        assert out[i]["gumbel_key"] == pytest.approx(round(g, 6), abs=1e-6)
+        assert out[i]["selected"] == (1 if i in sel else 0)
+    assert out[7]["n_feats"] == 0 and out[7]["log_weight"] == 0.0
+    assert sum(r["selected"] for r in out.values()) == K
+
+
+def test_dsir_select_xxhash_deterministic_and_k(spark):
+    """Corpus path (xxhash64 buckets + draw): reproducible across runs and
+    repartitionings, exactly k selected, target slice enriched."""
+    from trustfuse_spark.operators.curation import dsir_select
+
+    rows = [
+        (i, "tgt" if i % 3 == 0 else "raw",
+         ("alpha beta gamma " if i % 3 == 0 else "delta epsilon zeta ") * 4
+         + f"tail{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    kw = dict(k=15, n_buckets=32, salt=1)
+    a = sorted(dsir_select(docs, F.col("dom") == "tgt", **kw).collect())
+    b = sorted(
+        dsir_select(docs.repartition(7), F.col("dom") == "tgt", **kw).collect()
+    )
+    assert a == b
+    assert sum(r["selected"] for r in a) == 15
+    picked = {r["doc_id"] for r in a if r["selected"] == 1}
+    # softmax-weighted sampling should enrich the target-like docs
+    assert sum(1 for i in picked if i % 3 == 0) >= 10

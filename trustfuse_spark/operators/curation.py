@@ -905,3 +905,125 @@ def line_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    k: int,
+    n_buckets: int = 64,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR; Xie et al. 2023,
+    arXiv:2302.03169): pick the ``k`` raw documents that look most like a
+    target distribution, using importance weights estimated from hashed
+    bag-of-ngrams bucket models — the method behind domain-targeted
+    pretraining subsets (and the same estimator family the reference's
+    source-trust priors come from: counts in, ratios out).
+
+    Both distributions are estimated from the input itself: ``target`` is a
+    boolean column marking the in-distribution slice (e.g. ``lang == 'en'``,
+    a curated domain, a quality flag), raw is the whole corpus. Each doc's
+    features — unigrams + bigrams, the paper's featurization — hash into
+    ``n_buckets`` buckets; with add-``lam`` smoothing,
+
+        log w(doc) = sum over features f of
+                     [log p_target(b(f)) - log p_raw(b(f))]
+
+    and selection is Gumbel-top-k (the paper's resampling step): the key
+    ``g = log w - ln(-ln(u))`` with ``u`` a deterministic per-doc draw, so
+    the selected set is a without-replacement sample proportional to
+    softmax(log w) — yet fully reproducible under retries and speculation
+    (the draw is a pure function of the id + salt, never partition RNG).
+
+    Plan shape (the 100-TB contract): the featurize+explode chain fans out
+    (`_fan_out`: repartitions only when the scan yields fewer splits than
+    cores) and runs exactly TWICE — once into the bucket-count hash agg,
+    once into the per-doc weight-sum hash agg (the paper's two estimation
+    passes; both map-side combined). The bucket model is ``n_buckets`` rows
+    cross-joined with a 1-row total — broadcast freight, never a driver
+    value. The per-doc ranked table (4 columns/doc) is localCheckpointed so
+    the top-k and the mark join don't re-run the chain; top-k is
+    ``orderBy(...).limit(k)`` (TakeOrdered — no global sort materializes)
+    and the k winners broadcast back as the ``selected`` mark join. The
+    corpus is never collected.
+
+    ``portable_hash=True`` buckets features with the 31-bit polynomial char
+    fold and draws ``u`` via `portable_uniform` (engine-portable — gates and
+    oracles); the default is ``xxhash64`` for both (JVM-side, corpus runs).
+
+    Docs with no features (empty text) carry ``n_feats = 0`` and
+    ``log_weight = 0`` (an evidence-free importance ratio of 1) and still
+    enter the Gumbel draw. Returns (id, n_feats, log_weight, gumbel_key,
+    selected) for EVERY input doc — callers filter ``selected == 1``.
+    """
+    if portable_hash:
+        bucket = lambda f: _poly31(f) % n_buckets  # noqa: E731
+        u = portable_uniform(F.col("__id").cast("string"), salt)
+    else:
+        bucket = lambda f: F.pmod(F.xxhash64(f), F.lit(n_buckets))  # noqa: E731
+        big = 1 << 40
+        u = (
+            F.pmod(F.xxhash64(F.col("__id").cast("string"), F.lit(salt)), F.lit(big))
+            + 0.5
+        ) / F.lit(float(big))
+    feats = F.concat(_tokens(F.col(text_col)), word_ngrams(F.col(text_col), 2))
+    sel = docs.select(
+        F.col(id_col).alias("__id"),
+        target.cast("int").alias("__tgt"),
+        feats.alias("__f"),
+    )
+    fx = _fan_out(sel).select(
+        "__id", "__tgt", F.explode("__f").alias("__feat")
+    ).select("__id", "__tgt", bucket(F.col("__feat")).alias("__b"))
+    bc = fx.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr"), F.sum("__tgt").alias("__ct")
+    )
+    tot = bc.agg(F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("__ct") + lam) / (F.col("__tt") + lam * n_buckets))
+            - F.log((F.col("__cr") + lam) / (F.col("__tr") + lam * n_buckets))
+        ).alias("__lr"),
+    )
+    scored = (
+        fx.join(F.broadcast(lr), "__b")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("__lr").alias("__logw"))
+    )
+    ranked = (
+        sel.select("__id")
+        .join(scored, "__id", "left")
+        .select(
+            "__id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("__logw", F.lit(0.0)).alias("__logw"),
+        )
+        .withColumn(
+            "__g",
+            F.col("__logw")
+            - F.log(-F.log(F.greatest(u, F.lit(1e-9)))),
+        )
+        # one small row per doc; both the top-k and the mark join read it —
+        # without this the featurize+score chain re-runs per consumer
+        .localCheckpoint(eager=False)
+    )
+    top = (
+        ranked.orderBy(F.col("__g").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias("__tid"))
+    )
+    return ranked.join(
+        F.broadcast(top), ranked["__id"] == top["__tid"], "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_feats",
+        F.round("__logw", 6).alias("log_weight"),
+        F.round("__g", 6).alias("gumbel_key"),
+        F.col("__tid").isNotNull().cast("int").alias("selected"),
+    )
