@@ -61,14 +61,22 @@ def _tokens(text: Column) -> Column:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Array of space-joined lowercase word ``n``-grams (empty when the doc
-    has fewer than ``n`` tokens)."""
+    has fewer than ``n`` tokens).
+
+    Built as a chain of ``zip_with`` over ``n`` shifted slices of the token
+    array rather than ``transform(sequence, i -> slice(toks, i, n))`` — the
+    per-index form allocates an n-element sub-array per gram inside an
+    interpreted HOF and measured ~2x slower at 1.48M docs (15.9M bigrams:
+    4.1-6.6 s vs 2.5 s); the zip chain does one pairwise concat pass per
+    gram order. Output is element-for-element identical."""
     toks = _tokens(text)
-    k = F.size(toks) - (n - 1)
-    # sequence(1, 0) would DESCEND to [1, 0]; short docs need an empty array
-    starts = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, k)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
 
 
 def decontaminate(
