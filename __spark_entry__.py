@@ -1857,7 +1857,11 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from trustfuse_spark.operators.curation import dsir_select
-    from trustfuse_spark.operators.lm import bigram_lm_score, vocab_topk
+    from trustfuse_spark.operators.lm import (
+        bigram_lm_score,
+        train_bpe,
+        vocab_topk,
+    )
 
     d = _t(spark, sf_dir, "documents")
     portable = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
@@ -1888,7 +1892,35 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gumbel_key").alias("m3"),
         F.col("selected").cast("double").alias("m4"),
     )
-    return a.unionByName(b).unionByName(c)
+    # BPE legs (lm.train_bpe, 3 merge rounds): the learned rules ride as
+    # 'rank:a b' keys with their counts, every word's final segmentation as
+    # 'word|syms' keys — so a wrong pair, wrong rule order, or any
+    # mis-merged word breaks the hash. The oracle re-derives each round's
+    # argmax pair and replays the greedy merge fold as a recursive CTE
+    # (same sequential-fold pattern as the pack_sequences oracle).
+    merges, bpe_vocab = train_bpe(d, 3)
+    e1 = spark.createDataFrame(
+        [(i + 1, a_, b_, n_) for i, (a_, b_, n_) in enumerate(merges)],
+        "rank int, a string, b string, n long",
+    ).select(
+        F.lit("bpe_merge").alias("gate"),
+        F.concat_ws(
+            ":", F.col("rank"), F.concat_ws(" ", "a", "b")
+        ).alias("key"),
+        F.col("n").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    e2 = bpe_vocab.select(
+        F.lit("bpe_word").alias("gate"),
+        F.concat_ws("|", "word", "syms").alias("key"),
+        F.col("cnt").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(e1).unionByName(e2)
 
 
 def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3540,7 +3572,76 @@ def oracle_sql() -> dict[str, str]:
               FROM dh),
             dr AS (
               SELECT *, ROW_NUMBER() OVER (ORDER BY g DESC, doc_id ASC) AS rk
-              FROM dg)
+              FROM dg),
+            -- BPE legs: 3 unrolled merge rounds over the (word, cnt) table
+            -- (same unroll pattern as the scale_units oracle). Per round:
+            -- weighted adjacent-pair counts -> argmax (count desc, pair
+            -- asc) -> greedy left-to-right merge. The merge replays the
+            -- engine's lookaround regex via plain replace on a DOUBLE-
+            -- spaced padding (' a  b ' can never share a separator with
+            -- the next match, so runs like 'a a a a' merge at odd offsets
+            -- exactly like the sequential Sennrich fold), then doubles
+            -- collapse back to single separators.
+            bw0 AS (
+              SELECT token AS word, cnt,
+                     array_to_string(list_transform(
+                       generate_series(1, length(token)),
+                       i -> substr(token, i, 1)), ' ') AS syms
+              FROM counts),
+            bx1 AS (SELECT cnt, string_split(syms, ' ') AS s FROM bw0),
+            bp1 AS (
+              SELECT pair, SUM(cnt) AS n FROM (
+                SELECT cnt, unnest(list_transform(
+                  generate_series(1, greatest(len(s) - 1, 0)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair FROM bx1)
+              GROUP BY pair HAVING SUM(cnt) >= 2),
+            bb1 AS (SELECT pair, n FROM bp1 ORDER BY n DESC, pair ASC LIMIT 1),
+            bw1 AS (
+              SELECT word, cnt,
+                     CASE WHEN b.pair IS NULL THEN syms
+                          ELSE trim(replace(replace(
+                            ' ' || replace(syms, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                            '  ', ' '))
+                     END AS syms
+              FROM bw0 LEFT JOIN bb1 b ON TRUE),
+            bx2 AS (SELECT cnt, string_split(syms, ' ') AS s FROM bw1),
+            bp2 AS (
+              SELECT pair, SUM(cnt) AS n FROM (
+                SELECT cnt, unnest(list_transform(
+                  generate_series(1, greatest(len(s) - 1, 0)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair FROM bx2)
+              GROUP BY pair HAVING SUM(cnt) >= 2),
+            bb2 AS (SELECT pair, n FROM bp2 ORDER BY n DESC, pair ASC LIMIT 1),
+            bw2 AS (
+              SELECT word, cnt,
+                     CASE WHEN b.pair IS NULL THEN syms
+                          ELSE trim(replace(replace(
+                            ' ' || replace(syms, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                            '  ', ' '))
+                     END AS syms
+              FROM bw1 LEFT JOIN bb2 b ON TRUE),
+            bx3 AS (SELECT cnt, string_split(syms, ' ') AS s FROM bw2),
+            bp3 AS (
+              SELECT pair, SUM(cnt) AS n FROM (
+                SELECT cnt, unnest(list_transform(
+                  generate_series(1, greatest(len(s) - 1, 0)),
+                  i -> s[i] || ' ' || s[i+1])) AS pair FROM bx3)
+              GROUP BY pair HAVING SUM(cnt) >= 2),
+            bb3 AS (SELECT pair, n FROM bp3 ORDER BY n DESC, pair ASC LIMIT 1),
+            bw3 AS (
+              SELECT word, cnt,
+                     CASE WHEN b.pair IS NULL THEN syms
+                          ELSE trim(replace(replace(
+                            ' ' || replace(syms, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '  ') || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' '),
+                            '  ', ' '))
+                     END AS syms
+              FROM bw2 LEFT JOIN bb3 b ON TRUE)
             SELECT *, CAST(NULL AS DOUBLE) AS m4 FROM vrows
             UNION ALL
             SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
@@ -3554,6 +3655,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(g, 6) AS m3,
                    CAST(CAST(rk <= 100 AS INT) AS DOUBLE) AS m4
             FROM dr
+            UNION ALL
+            SELECT 'bpe_merge' AS gate, '1:' || pair AS key,
+                   CAST(n AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM bb1
+            UNION ALL
+            SELECT 'bpe_merge' AS gate, '2:' || pair AS key,
+                   CAST(n AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM bb2
+            UNION ALL
+            SELECT 'bpe_merge' AS gate, '3:' || pair AS key,
+                   CAST(n AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM bb3
+            UNION ALL
+            SELECT 'bpe_word' AS gate, word || '|' || syms AS key,
+                   CAST(cnt AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM bw3
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,

@@ -211,3 +211,75 @@ def test_validate_triples_flags(spark, triples):
     assert got[("Q3", "P_str", "")] == (1, 0, 0, 1)              # empty obj
     assert got[("Q3", "P_ent1", "None")] == (1, 0, 0, 1)         # NULL: null-flag only
     assert out.count() == 7
+
+
+def _bpe_py(word_counts, n_merges):
+    """Reference greedy BPE (Sennrich et al. 2016, alg. 1): sequential
+    left-to-right merge fold per word, ties by (count desc, pair asc)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        counts = {p: n for p, n in counts.items() if n >= 2}
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], counts[best]))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, {w: " ".join(s) for w, s in vocab.items()}
+
+
+def test_train_bpe_matches_reference_fold(spark):
+    """Distributed BPE == the sequential reference fold: merge rules (order,
+    pairs, counts) and every word's final segmentation — including runs of
+    the same symbol (greedy odd-offset pairing) and count ties (lexicographic
+    pair pinning)."""
+    from trustfuse_spark.operators.lm import train_bpe
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "aaaa aaaa aa newer new"),
+        (3, "low newer wider aaaa"),
+        (4, "zz zz yy yy"),  # count tie between 'z z' and 'y y'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    exp_merges, exp_vocab = _bpe_py(wc, 6)
+
+    merges, vocab = train_bpe(docs, 6)
+    assert merges == exp_merges
+    got = {r["word"]: (r["cnt"], r["syms"]) for r in vocab.collect()}
+    assert {w: s for w, (_, s) in got.items()} == exp_vocab
+    assert {w: c for w, (c, _) in got.items()} == wc
+
+
+def test_train_bpe_early_stop_and_single_chars(spark):
+    from trustfuse_spark.operators.lm import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef"), (2, "g h")], "doc_id long, text string"
+    )
+    # every pair occurs once -> no pair reaches count 2 -> zero merges
+    merges, vocab = train_bpe(docs, 5)
+    assert merges == []
+    got = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got == {"ab": "a b", "cd": "c d", "ef": "e f", "g": "g", "h": "h"}

@@ -111,3 +111,77 @@ def bigram_lm_score(
             F.round("avg_logprob", 6).alias("avg_logprob"),
         )
     )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """BPE tokenizer-merge training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn ``n_merges`` merge rules from the corpus and
+    return them with the final symbol segmentation of every distinct word.
+
+    Distributed the way production BPE trainers work: the corpus collapses
+    ONCE into a (word, count) table — one token-keyed hash agg, map-side
+    combined; at 100 TB that table is vocabulary-sized (millions of rows,
+    not trillions), so every subsequent merge round touches only it. Per
+    round: adjacent symbol pairs come from a ``zip_with`` of the symbol
+    array against its own shift (no per-index slicing), one count-weighted
+    hash agg ranks pairs, the argmax pair is a 1-row TakeOrdered collect
+    (the convergence-scalar convention: a single driver value per
+    iteration, like a CRH loss or a Lloyd centroid), and the merge applies
+    as ONE codegen ``regexp_replace`` over the vocabulary — greedy
+    left-to-right exactly like the reference algorithm (the pattern
+    consumes 'a b' but only looks around at the separators, so runs of the
+    same symbol merge at odd offsets, matching the sequential fold).
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest "a b" pair — pinned so retries, re-runs, and the SQL oracle
+    agree. Rounds stop early if no pair occurs twice. The vocab DataFrame
+    is localCheckpoint-rotated per round so the plan does not grow with
+    ``n_merges``.
+
+    Returns ``(merges, vocab)``: merges as [(a, b, count), ...] in rule
+    order; vocab as (word, cnt, syms) with ``syms`` the space-joined final
+    segmentation.
+    """
+    import re as _re
+
+    words = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        # initial symbols: one character each, space-joined
+        .withColumn(
+            "syms", F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        s = F.split(F.col("syms"), " ")
+        n1 = F.greatest(F.size(s) - 1, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(s, 1, n1), F.slice(s, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        best = (
+            words.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .filter(F.col("n") >= 2)
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ", 1)
+        merges.append((a, b, int(best[0]["n"])))
+        pat = f"(?<=^| ){_re.escape(a)} {_re.escape(b)}(?= |$)"
+        repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        words = words.withColumn(
+            "syms", F.regexp_replace("syms", pat, repl)
+        ).localCheckpoint(eager=False)
+    return merges, words.select("word", "cnt", "syms")
