@@ -1859,6 +1859,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trustfuse_spark.operators.curation import dsir_select
     from trustfuse_spark.operators.lm import (
         bigram_lm_score,
+        bpe_encode,
         train_bpe,
         vocab_topk,
     )
@@ -1920,7 +1921,26 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(e1).unionByName(e2)
+    # encode leg: per-doc exact token counts under the learned merges.
+    # Cross-implementation check — the engine runs the GPT-2-style
+    # min-rank loop in a vocab-dim pandas UDF; the oracle derives the
+    # same counts from the TRAINING segmentation (the regex merge fold
+    # replayed in SQL), which encode provably reproduces on seen words.
+    e3 = bpe_encode(d, merges).select(
+        F.lit("bpe_enc").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_words").cast("double").alias("m1"),
+        F.col("n_bpe_tokens").cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(e1)
+        .unionByName(e2)
+        .unionByName(e3)
+    )
 
 
 def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3675,6 +3695,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
                    CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
             FROM bw3
+            UNION ALL
+            -- encode leg: per-doc token counts from the TRAINING
+            -- segmentation (independent of the engine's min-rank loop)
+            SELECT 'bpe_enc' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
+                   CAST(COALESCE(bc.nw, 0) AS DOUBLE) AS m1,
+                   CAST(COALESCE(bc.nt, 0) AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, COUNT(*) AS nw, SUM(ns) AS nt
+              FROM (SELECT doc_id, unnest(t) AS word FROM toks) e
+              JOIN (SELECT word, len(string_split(syms, ' ')) AS ns
+                    FROM bw3) s USING (word)
+              GROUP BY doc_id) bc USING (doc_id)
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,

@@ -272,6 +272,81 @@ def test_train_bpe_matches_reference_fold(spark):
     assert {w: c for w, (c, _) in got.items()} == wc
 
 
+def _encode_rank_order_py(word, merges):
+    """Reference BPE encode: apply merges IN RANK ORDER, each greedily
+    left-to-right — a different algorithm than the engine's GPT-2-style
+    lowest-rank-present loop (they are equivalent for trained merge
+    lists; the test exploits that as a cross-check)."""
+    syms = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_rank_order_reference(spark):
+    """Engine encode (min-rank loop, vocab-dim pandas UDF) == rank-order
+    reference on words NOT seen in training — chained merges, same-symbol
+    runs, and words with no applicable merge."""
+    from trustfuse_spark.operators.lm import bpe_encode
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("n", "er"), ("a", "a")]
+    rows = [
+        (1, "lowlow lower low"),
+        (2, "ner nerer xyz"),
+        (3, "aaaa aaa lowner"),
+        (4, "q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = {}
+    for did, t in rows:
+        ws = t.split()
+        exp[did] = (
+            len(ws),
+            sum(len(_encode_rank_order_py(w, merges)) for w in ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == exp
+
+
+def test_bpe_encode_consistent_with_training_and_empty_docs(spark):
+    """Encoding the training corpus with its own merges reproduces the
+    training segmentation lengths (two independent code paths: Python
+    min-rank loop vs the distributed regex merge fold); token-less docs
+    get (0, 0)."""
+    from trustfuse_spark.operators.lm import bpe_encode, train_bpe
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "aaaa aaaa aa newer new"),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = train_bpe(docs, 4)
+    seg = {r["word"]: len(r["syms"].split(" ")) for r in vocab.collect()}
+    exp = {}
+    for did, t in rows:
+        ws = t.split()
+        exp[did] = (len(ws), sum(seg[w] for w in ws))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == exp
+    assert got[3] == (0, 0)
+
+
 def test_train_bpe_early_stop_and_single_chars(spark):
     from trustfuse_spark.operators.lm import train_bpe
 

@@ -19,6 +19,7 @@ Scale shapes (100-TB contract):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -185,3 +186,89 @@ def train_bpe(
             "syms", F.regexp_replace("syms", pat, repl)
         ).localCheckpoint(eager=False)
     return merges, words.select("word", "cnt", "syms")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge list and return exact
+    per-document token counts — the number that feeds sequence packing and
+    mixture token budgets (whitespace counts only approximate it).
+
+    ``merges`` is the rank-ordered rule list from :func:`train_bpe`
+    (``(a, b)`` or ``(a, b, count)`` tuples both accepted). Encoding uses
+    the production (GPT-2-style) loop — repeatedly merge the lowest-rank
+    pair present — whose cost per word is independent of the merge-list
+    length, unlike naive rank-order application which is
+    O(|merges| x |word|). The two are provably equivalent for a merge list
+    produced by greedy training: a merge only ever creates pairs of
+    strictly higher rank, so the lowest-rank-first loop applies rules in
+    rank order.
+
+    Scale shape (100-TB contract): the Python encode runs over the
+    DISTINCT-WORD dimension only — one hash agg collapses the corpus to
+    its vocabulary, the Arrow-batched pandas UDF encodes each word once,
+    and the (word -> n_sym) dim joins back to the exploded corpus (AQE
+    broadcasts it while the vocabulary is bounded). Per-token work on the
+    corpus side is a join probe + a partial-aggregated SUM; the UDF cost
+    is vocabulary-sized, not corpus-sized.
+
+    Returns (id, n_words, n_bpe_tokens); documents with no tokens get
+    (0, 0).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def _n_sym(word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            best_r, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_i = r, i
+            if best_r is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    @pandas_udf(IntegerType())
+    def enc_len(words: pd.Series) -> pd.Series:
+        return words.map(_n_sym)
+
+    sel = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_tokens(F.col(text_col))).alias("word"),
+    )
+    dim = sel.select("word").distinct().withColumn("n_sym", enc_len("word"))
+    per_doc = (
+        sel.join(dim, "word")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )
