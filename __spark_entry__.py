@@ -1858,11 +1858,13 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from trustfuse_spark.operators.curation import dsir_select
     from trustfuse_spark.operators.lm import (
+        _tokens,
         bigram_lm_score,
         bpe_encode,
         train_bpe,
         vocab_topk,
     )
+    from trustfuse_spark.operators.retrieval import bm25_topk
 
     d = _t(spark, sf_dir, "documents")
     portable = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
@@ -1934,12 +1936,30 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
+    # BM25 leg (retrieval.bm25_topk): queries derived deterministically
+    # from the corpus itself (every 53rd doc's first 4 tokens), top-10
+    # per query. Score (rounded pre-rank), rank, and overlap count all
+    # reach the hash; the oracle re-derives the full Okapi chain (pruned
+    # postings, RSJ idf, length saturation) from the shared toks CTE.
+    qd = d.filter(F.col("doc_id") % 53 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, 4)).alias("qtext"),
+    )
+    r = bm25_topk(d, qd, k=10).select(
+        F.lit("bm25").alias("gate"),
+        F.concat_ws("|", "qid", "doc_id").alias("key"),
+        F.col("score").alias("m1"),
+        F.col("rank").cast("double").alias("m2"),
+        F.col("n_terms").cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(e1)
         .unionByName(e2)
         .unionByName(e3)
+        .unionByName(r)
     )
 
 
@@ -3661,7 +3681,39 @@ def oracle_sql() -> dict[str, str]:
                             ' ' || replace(b.pair, ' ', '') || ' '),
                             '  ', ' '))
                      END AS syms
-              FROM bw2 LEFT JOIN bb3 b ON TRUE)
+              FROM bw2 LEFT JOIN bb3 b ON TRUE),
+            -- BM25 leg: queries = every 53rd doc's first 4 tokens;
+            -- postings pruned to query terms, RSJ idf
+            -- ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75 saturation,
+            -- score rounded to 6dp BEFORE ranking, ties by doc_id asc
+            bqt AS (
+              SELECT DISTINCT doc_id AS qid, unnest(t[1:4]) AS term
+              FROM toks WHERE doc_id % 53 = 0),
+            bdl AS (SELECT doc_id, len(t) AS dl FROM toks),
+            bst AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM bdl),
+            bpost AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              WHERE term IN (SELECT DISTINCT term FROM bqt)
+              GROUP BY doc_id, term),
+            bdf AS (SELECT term, COUNT(*) AS dfv FROM bpost GROUP BY term),
+            bsc AS (
+              SELECT q.qid, p.doc_id,
+                     ROUND(SUM(
+                       LN(1 + ((SELECT n FROM bst) - dfv + 0.5)
+                              / (dfv + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl
+                                      / (SELECT avgdl FROM bst)))), 6)
+                       AS score,
+                     COUNT(*) AS nt
+              FROM bpost p JOIN bdf USING (term) JOIN bqt q USING (term)
+                   JOIN bdl ON p.doc_id = bdl.doc_id
+              GROUP BY q.qid, p.doc_id),
+            brk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+              FROM bsc)
             SELECT *, CAST(NULL AS DOUBLE) AS m4 FROM vrows
             UNION ALL
             SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
@@ -3708,6 +3760,11 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT word, len(string_split(syms, ' ')) AS ns
                     FROM bw3) s USING (word)
               GROUP BY doc_id) bc USING (doc_id)
+            UNION ALL
+            SELECT 'bm25' AS gate, qid || '|' || doc_id AS key,
+                   score AS m1, CAST(rk AS DOUBLE) AS m2,
+                   CAST(nt AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM brk WHERE rk <= 10
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,

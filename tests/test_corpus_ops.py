@@ -358,3 +358,77 @@ def test_train_bpe_early_stop_and_single_chars(spark):
     assert merges == []
     got = {r["word"]: r["syms"] for r in vocab.collect()}
     assert got == {"ab": "a b", "cd": "c d", "ef": "e f", "g": "g", "h": "h"}
+
+
+def _bm25_py(docs, queries, k=10, k1=1.2, b=0.75):
+    """Independent reference BM25: dict-based inverted index, full-corpus
+    scoring loop — a different algorithm shape than the engine's pruned
+    postings dataflow."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qt in queries:
+        qterms = set(qt.lower().split())
+        scores = {}
+        nt = {}
+        for d, t in toks.items():
+            s, c = 0.0, 0
+            for term in qterms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                dl = len(t)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+                c += 1
+            if c:
+                scores[d] = round(s, 6)
+                nt[d] = c
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out[qid] = [(d, s, r + 1, nt[d]) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_topk_matches_reference(spark):
+    """Engine BM25 (broadcast-pruned postings + window top-k) == a
+    dict-based Python reference: scores, ranks, overlap counts, tie
+    order on duplicate documents, and no-match queries emitting nothing."""
+    from trustfuse_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "the broadcast join avoids the shuffle"),
+        (3, "data data data everywhere in the lake"),
+        (4, "spark shuffles data across the cluster"),  # exact dup of 1
+        (5, "window functions rank rows per partition"),
+        (6, "short"),
+    ]
+    queries = [
+        (10, "spark shuffle data"),
+        (11, "broadcast join"),
+        (12, "zebra quux"),  # matches nothing
+    ]
+    exp = _bm25_py(docs, queries, k=3)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "qid long, qtext string")
+    got = {}
+    for r in bm25_topk(ddf, qdf, k=3).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["score"], r["rank"], r["n_terms"])
+        )
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    assert got.get(12, []) == []
+    for qid in (10, 11):
+        assert [x[0] for x in got[qid]] == [x[0] for x in exp[qid]]
+        assert [x[2] for x in got[qid]] == [x[2] for x in exp[qid]]
+        assert [x[3] for x in got[qid]] == [x[3] for x in exp[qid]]
+        for g, e in zip(got[qid], exp[qid]):
+            assert abs(g[1] - e[1]) < 1e-9
