@@ -1835,10 +1835,13 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus LM triple tag-unioned: the top-40 vocabulary with rank +
+    """Corpus LM suite tag-unioned: the top-40 vocabulary with rank +
     cumulative coverage (gate='vocab'), the per-doc add-0.5-smoothed
     bigram-LM mean log-prob quality score (gate='score') — lm.vocab_topk /
-    lm.bigram_lm_score — and the DSIR importance-resampling selection
+    lm.bigram_lm_score — the CCNet head/middle/tail perplexity bucketing
+    over those scores (gate='ppl': lm.perplexity_buckets exact-rank path,
+    bucket + global rank per scored doc), and the DSIR importance-resampling
+    selection
     (gate='dsir': curation.dsir_select, target = lang 'en', 32 portable
     poly31 buckets, add-0.5 smoothing, Gumbel-top-100 on the portable
     draw; m1=n_feats, m2=log_weight, m3=gumbel_key, m4=selected). The
@@ -1861,6 +1864,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tokens,
         bigram_lm_score,
         bpe_encode,
+        perplexity_buckets,
         train_bpe,
         vocab_topk,
     )
@@ -1876,11 +1880,24 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coverage").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
-    b = bigram_lm_score(d, alpha=0.5).select(
+    lm_scores = bigram_lm_score(d, alpha=0.5)
+    b = lm_scores.select(
         F.lit("score").alias("gate"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_bigrams").cast("double").alias("m1"),
         F.col("avg_logprob").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    # CCNet perplexity-bucket leg (lm.perplexity_buckets, exact-rank path
+    # over the shared scoring): head/middle/tail tier + global rank per
+    # doc; unscored (<2-token) docs carry NULLs. The oracle re-ranks the
+    # same rounded scores with ROW_NUMBER and re-derives the floor bucket.
+    p = perplexity_buckets(scores=lm_scores, n_buckets=3).select(
+        F.lit("ppl").alias("gate"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("bucket").cast("double").alias("m1"),
+        F.col("rank").cast("double").alias("m2"),
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
@@ -1955,6 +1972,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.unionByName(b)
+        .unionByName(p)
         .unionByName(c)
         .unionByName(e1)
         .unionByName(e2)
@@ -3561,6 +3579,16 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
               SELECT doc_id, COUNT(*) AS nb, AVG(logp) AS alp
               FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id),
+            -- CCNet perplexity-bucket leg: rank the ROUNDED scores (the
+            -- same 6-dp value the 'score' leg hashes, so cross-engine
+            -- float noise cannot flip the order), equal-count tiers via
+            -- floor(3 * (rank-1) / n)
+            prk AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(alp, 6) DESC, doc_id ASC) AS prank,
+                     COUNT(*) OVER () AS pn
+              FROM sc WHERE nb > 0),
             -- DSIR leg: unigram+bigram features, poly31 % 32 buckets,
             -- add-0.5-smoothed target(lang='en')/raw bucket log-ratios,
             -- per-doc weight sums, Gumbel-top-100 on the portable draw
@@ -3721,6 +3749,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(s.alp, 6) AS m2, CAST(NULL AS DOUBLE) AS m3,
                    CAST(NULL AS DOUBLE) AS m4
             FROM documents d LEFT JOIN sc s USING (doc_id)
+            UNION ALL
+            SELECT 'ppl' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
+                   CAST(FLOOR(3.0 * (p.prank - 1) / p.pn) AS DOUBLE) AS m1,
+                   CAST(p.prank AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM documents d LEFT JOIN prk p USING (doc_id)
             UNION ALL
             SELECT 'dsir' AS gate, CAST(doc_id AS VARCHAR) AS key,
                    CAST(nf AS DOUBLE) AS m1, ROUND(logw, 6) AS m2,

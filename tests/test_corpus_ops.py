@@ -135,6 +135,41 @@ def test_vocab_topk_rank_and_coverage(spark):
     assert rows[2]["coverage"] == pytest.approx(8 / 9, abs=1e-6)
 
 
+def test_perplexity_buckets_rank_and_threshold_paths(spark):
+    from trustfuse_spark.operators.lm import perplexity_buckets
+
+    # 9 scorable docs (>=2 tokens) + 1 unscorable
+    rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(2 + i % 5))) for i in range(9)]
+    rows.append((9, "solo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = perplexity_buckets(df, n_buckets=3).orderBy("doc_id").collect()
+    scored = [r for r in exact if r["n_bigrams"] > 0]
+    unscored = [r for r in exact if r["n_bigrams"] == 0]
+    assert len(scored) == 9 and len(unscored) == 1
+    assert unscored[0]["rank"] is None and unscored[0]["bucket"] is None
+    # equal-count tiers: 3 docs per bucket, ranks are a permutation of 1..9
+    from collections import Counter
+
+    assert Counter(r["bucket"] for r in scored) == {0: 3, 1: 3, 2: 3}
+    assert sorted(r["rank"] for r in scored) == list(range(1, 10))
+    # rank order follows (avg_logprob desc, doc_id asc)
+    by_rank = sorted(scored, key=lambda r: r["rank"])
+    keys = [(-r["avg_logprob"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    # bucket = floor(3*(rank-1)/9)
+    for r in scored:
+        assert r["bucket"] == (3 * (r["rank"] - 1)) // 9
+
+    # threshold path reproduces the exact tiers when cut at the rank
+    # boundaries (midpoints between bucket-edge scores)
+    s = sorted((r["avg_logprob"] for r in by_rank), reverse=True)
+    ts = [(s[2] + s[3]) / 2, (s[5] + s[6]) / 2]
+    thr = perplexity_buckets(df, thresholds=ts).orderBy("doc_id").collect()
+    assert [r["bucket"] for r in thr] == [r["bucket"] for r in exact]
+    assert all(r["rank"] is None for r in thr)  # map-side path has no rank
+
+
 def test_contamination_overlap(spark):
     docs = spark.createDataFrame(
         [

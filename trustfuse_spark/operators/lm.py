@@ -114,6 +114,93 @@ def bigram_lm_score(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    n_buckets: int = 3,
+    thresholds: list[float] | None = None,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): split the corpus into ``n_buckets`` quality
+    tiers (head / middle / tail for 3) by LM score — the second half of the
+    CCNet recipe whose line-dedup half is `curation.ccnet_line_dedup`.
+    Bucket 0 is the best-scoring (head) tier.
+
+    Two assignment paths:
+
+    - ``thresholds`` given (the PRODUCTION path, what CCNet ships): fixed
+      cut points computed once (offline, or from a sample percentile job);
+      assignment is a pure map-side comparison — bucket = how many
+      thresholds the doc's ``avg_logprob`` falls below. Zero shuffles over
+      the corpus beyond the scoring join itself; this is the 100-TB shape.
+    - ``thresholds=None`` (the EXACT path, gate/test scale): equal-count
+      buckets by global rank — ``floor(n_buckets * (rank-1) / n)`` with
+      rank ordered by (avg_logprob desc, id asc) over scored docs. The
+      rank is a single-partition window (a global sort), so this path is
+      for bounded inputs only — exactly the contract of the other
+      gate-portable variants (simhash31, poly31 DSIR).
+
+    Ordering uses the ROUNDED score (6 dp, what `bigram_lm_score` emits),
+    so rank is reproducible across engines: two docs whose means differ
+    only in float-summation noise round equal and fall back to the id
+    tiebreak instead of flipping.
+
+    Docs with no bigrams (fewer than 2 tokens) get NULL rank/bucket on
+    both paths. Pass ``scores`` (any DataFrame with ``id_col``,
+    ``n_bigrams``, ``avg_logprob``) to reuse an already-computed scoring;
+    otherwise ``docs`` is scored with :func:`bigram_lm_score`.
+
+    Returns (id, n_bigrams, avg_logprob, rank, bucket).
+    """
+    if scores is None:
+        if docs is None:
+            raise ValueError("need docs or scores")
+        scores = bigram_lm_score(docs, id_col=id_col, text_col=text_col, alpha=alpha)
+    scored = scores.select(id_col, "n_bigrams", "avg_logprob")
+    if thresholds is not None:
+        below = F.lit(0)
+        for t in thresholds:
+            below = below + F.when(
+                F.col("avg_logprob") < F.lit(float(t)), 1
+            ).otherwise(0)
+        return scored.select(
+            id_col,
+            "n_bigrams",
+            "avg_logprob",
+            F.lit(None).cast("long").alias("rank"),
+            F.when(F.col("n_bigrams") > 0, below).otherwise(None)
+            .cast("int")
+            .alias("bucket"),
+        )
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.filter(F.col("n_bigrams") > 0)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("avg_logprob").desc(), F.col(id_col).asc())
+            ),
+        )
+        .withColumn("__n", F.count("*").over(Window.partitionBy()))
+        .select(
+            id_col,
+            "rank",
+            F.floor(
+                F.lit(float(n_buckets)) * (F.col("rank") - 1) / F.col("__n")
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return scored.join(ranked, id_col, "left").select(
+        id_col, "n_bigrams", "avg_logprob", "rank", "bucket"
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
