@@ -1245,11 +1245,15 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scan + redaction (curation.pii_scan / pii_redact) over text with
-    deterministically planted PII: emails on doc_id % 7 == 0, IPv4 on % 11,
-    phone numbers on % 13. The redacted string itself is part of the gate,
-    so span boundaries must match the oracle regex engine exactly."""
-    from trustfuse_spark.operators.curation import pii_redact, pii_scan
+    """PII scan + redaction (curation.pii_scan / pii_redact / ccnum_redact)
+    over text with deterministically planted PII: emails on doc_id % 7 == 0,
+    IPv4 on % 11, phone numbers on % 13, a Luhn-VALID card number on % 17
+    and a Luhn-INVALID card-shaped span on % 19 (so the checksum filter's
+    accept AND reject branches are both value-bearing — the invalid span
+    must survive redaction verbatim and not count). The redacted string
+    itself is part of the gate, so span boundaries must match the oracle
+    regex engine exactly and the oracle replays the Luhn fold in SQL."""
+    from trustfuse_spark.operators.curation import ccnum_redact, pii_redact, pii_scan
 
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -1276,10 +1280,14 @@ def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" 4242"),
             ),
         ).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.lit(" ref 4111-1111-1111-1112")).otherwise(F.lit("")),
     )
     p = d.select("doc_id", planted.alias("ptext"))
-    out = pii_scan(p, "ptext").withColumn("redacted", pii_redact(F.col("ptext")))
-    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+    out = pii_scan(p, "ptext").withColumn(
+        "redacted", ccnum_redact(pii_redact(F.col("ptext")))
+    )
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "n_ccnum", "redacted")
 
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4167,15 +4175,14 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 13 = 0
                           THEN ' call +1 555 01'
                                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                               || ' 4242' ELSE '' END AS ptext
-              FROM documents)
-            SELECT doc_id,
-                   len(regexp_extract_all(ptext,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-                   len(regexp_extract_all(ptext,
-                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-                   len(regexp_extract_all(ptext,
-                       '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS n_phone,
+                               || ' 4242' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                          THEN ' card 4111 1111 1111 1111' ELSE '' END
+                     || CASE WHEN doc_id % 19 = 0
+                          THEN ' ref 4111-1111-1111-1112' ELSE '' END AS ptext
+              FROM documents),
+            base AS (
+              SELECT doc_id, ptext,
                    regexp_replace(
                      regexp_replace(
                        regexp_replace(ptext,
@@ -4184,8 +4191,59 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                        '<IPV4>', 'g'),
                      '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}',
-                     '<PHONE>', 'g') AS redacted
-            FROM p
+                     '<PHONE>', 'g') AS red0
+              FROM p),
+            -- card-shaped candidates from the RAW text (the scan count)
+            -- and from the otherwise-redacted text (the redaction fold)
+            cand AS (
+              SELECT doc_id, 'raw' AS src,
+                     unnest(regexp_extract_all(ptext,
+                       '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b')) AS c
+              FROM base
+              UNION ALL
+              SELECT doc_id, 'red' AS src,
+                     unnest(regexp_extract_all(red0,
+                       '\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b')) AS c
+              FROM base),
+            -- Luhn mod-10 fold: i counts from the rightmost digit, every
+            -- second digit doubles with 9 subtracted on overflow
+            lv AS (
+              SELECT doc_id, src, c,
+                     length(ds) BETWEEN 13 AND 19
+                     AND list_reduce(
+                           list_prepend(0, generate_series(1, length(ds))),
+                           (acc, i) -> acc + CASE WHEN i % 2 = 0 THEN
+                               CASE WHEN 2 * (ascii(substr(ds,
+                                      CAST(length(ds) - i + 1 AS INT), 1)) - 48) > 9
+                                    THEN 2 * (ascii(substr(ds,
+                                      CAST(length(ds) - i + 1 AS INT), 1)) - 48) - 9
+                                    ELSE 2 * (ascii(substr(ds,
+                                      CAST(length(ds) - i + 1 AS INT), 1)) - 48) END
+                             ELSE ascii(substr(ds,
+                                      CAST(length(ds) - i + 1 AS INT), 1)) - 48 END
+                         ) % 10 = 0 AS ok
+              FROM (SELECT doc_id, src, c,
+                           regexp_replace(c, '[^0-9]', '', 'g') AS ds
+                    FROM cand)),
+            ncc AS (
+              SELECT doc_id, COUNT(*) AS n FROM lv
+              WHERE src = 'raw' AND ok GROUP BY doc_id),
+            rl AS (
+              SELECT doc_id, list(c ORDER BY length(c) DESC, c ASC) AS cs
+              FROM lv WHERE src = 'red' AND ok GROUP BY doc_id)
+            SELECT b.doc_id,
+                   len(regexp_extract_all(ptext,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(ptext,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(ptext,
+                       '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}')) AS n_phone,
+                   COALESCE(ncc.n, 0) AS n_ccnum,
+                   list_reduce(
+                     list_prepend(b.red0, COALESCE(rl.cs, CAST([] AS VARCHAR[]))),
+                     (acc, c) -> replace(acc, c, '<CCNUM>')) AS redacted
+            FROM base b
+            LEFT JOIN ncc USING (doc_id) LEFT JOIN rl USING (doc_id)
         """,
         # Consolidated r5 gate: lang-ID + BPE-ish token count joined with
         # within-doc duplicate n-gram ratios (n=3, n=5) on doc_id (bodies in

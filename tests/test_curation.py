@@ -68,6 +68,44 @@ def test_pii_scan_and_redact(spark):
     assert "bob.smith" not in red and "192.168.0.1" not in red and "4567" not in red
 
 
+def test_ccnum_luhn_scan_and_redact(spark):
+    from trustfuse_spark.operators.curation import ccnum_redact
+
+    text = (
+        "pay 4111 1111 1111 1111 now, ref 4111-1111-1111-1112 kept, "
+        "also 5500-0000-0000-0004 and plain 1234 5678 9012 3456 stays"
+    )
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = (
+        pii_scan(d)
+        .withColumn("red", ccnum_redact(F.col("text")))
+        .first()
+    )
+    # Luhn-valid: 4111111111111111 and 5500000000000004; the -1112 variant
+    # and 1234... fail the mod-10 check and must survive verbatim.
+    assert row["n_ccnum"] == 2
+    red = row["red"]
+    assert red.count("<CCNUM>") == 2
+    assert "4111-1111-1111-1112" in red and "1234 5678 9012 3456" in red
+    assert "4111 1111 1111 1111" not in red and "5500-0000-0000-0004" not in red
+
+
+def test_ccnum_luhn_amex_length(spark):
+    # 15-digit Amex test number 378282246310005 (Luhn-valid) in 4-4-4-3 groups.
+    from trustfuse_spark.operators.curation import ccnum_redact
+
+    d = spark.createDataFrame(
+        [(0, "amex 3782 8224 6310 005 end"), (1, "bad 3782 8224 6310 006 end")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ccnum"], r["red"])
+        for r in pii_scan(d).withColumn("red", ccnum_redact(F.col("text"))).collect()
+    }
+    assert got[0][0] == 1 and "<CCNUM>" in got[0][1]
+    assert got[1][0] == 0 and "6310 006" in got[1][1]
+
+
 def test_dup_ngram_ratio(spark):
     d = spark.createDataFrame(
         [(0, "a b a b a b"), (1, "a b c d e f"), (2, "x")],

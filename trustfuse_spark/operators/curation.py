@@ -225,14 +225,15 @@ def contamination_keep(
 
 def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Count PII-shaped spans per document (``n_email`` / ``n_ipv4`` /
-    ``n_phone``) — pure regexp expressions, no UDFs."""
+    ``n_phone`` / ``n_ccnum``) — pure regexp expressions, no UDFs; the
+    card count is Luhn-validated (:func:`ccnum_candidates`)."""
     out = docs
     for kind in PII_ORDER:
         out = out.withColumn(
             f"n_{kind}",
             F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[kind]), 0)),
         )
-    return out
+    return out.withColumn("n_ccnum", F.size(ccnum_candidates(F.col(text_col))))
 
 
 def pii_redact(text: Column) -> Column:
@@ -242,6 +243,67 @@ def pii_redact(text: Column) -> Column:
     for kind in PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# Candidate card numbers: 4-digit groups (optionally space/dash separated),
+# 13-16 digits total. A regex alone over-fires on arbitrary numeric runs, so
+# candidates are validated with the Luhn checksum before counting/redacting —
+# the standard false-positive filter for payment-card PII.
+CCNUM_PATTERN = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b"
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """True when the digits of ``candidate`` pass the Luhn mod-10 checksum
+    (ISO/IEC 7812) and the digit count is a plausible card length (13-19).
+
+    Pure expressions — the per-position double-and-subtract fold runs as an
+    ``aggregate`` HOF over the digit positions of ONE short candidate string
+    (card numbers are <= 19 chars), so cost is per-candidate, not per-row:
+    rows with no card-shaped spans never evaluate it.
+    """
+    ds = F.regexp_replace(candidate, "[^0-9]", "")
+    n = F.length(ds)
+    # i counts from the RIGHTMOST digit (i=1 is the check digit); every
+    # second digit doubles, with 9 subtracted when doubling overflows.
+    def term(i):
+        d = F.ascii(F.substring(ds, (n - i + F.lit(1)).cast("int"), 1)) - 48
+        dd = F.when(i % 2 == 0, d * 2).otherwise(d)
+        return dd - F.when(dd > 9, 9).otherwise(0)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n.cast("int")),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def ccnum_candidates(text: Column, valid_only: bool = True) -> Column:
+    """Array of card-shaped spans in ``text``; ``valid_only`` keeps only
+    Luhn-passing candidates."""
+    cands = F.regexp_extract_all(text, F.lit(CCNUM_PATTERN), 0)
+    if valid_only:
+        cands = F.filter(cands, luhn_valid)
+    return cands
+
+
+def ccnum_redact(text: Column) -> Column:
+    """Replace every Luhn-valid card-shaped span with ``<CCNUM>``.
+
+    Conditional replacement can't be a single ``regexp_replace`` (the regex
+    engine can't checksum), so the valid candidates fold over the string as
+    literal ``replace`` calls — longest-first (then lexicographic) so a
+    candidate that is a substring of another can never corrupt the longer
+    match, and so the fold order is engine-independent.
+    """
+    cands = F.array_sort(
+        ccnum_candidates(text),
+        lambda a, b: F.when(F.length(a) != F.length(b), F.length(b) - F.length(a))
+        .when(a < b, -1)
+        .when(a > b, 1)
+        .otherwise(0),
+    )
+    return F.aggregate(cands, text, lambda acc, c: F.replace(acc, c, F.lit("<CCNUM>")))
 
 
 def dup_ngram_ratio(text: Column, n: int = 5) -> Column:
