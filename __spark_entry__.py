@@ -1318,16 +1318,42 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit sequence packing (curation.pack_sequences) into
-    256-token bins per source shard, ordered by doc_id. The oracle replays
-    the sequential fold with a recursive CTE, so bin boundaries must match
-    row for row."""
-    from trustfuse_spark.operators.curation import pack_sequences
+    256-token bins per source shard, ordered by doc_id (gate='pack'). The
+    oracle replays the sequential fold with a recursive CTE, so bin
+    boundaries must match row for row.
+
+    Round-5 leg, tag-unioned: gate='chunk' — sliding-window token chunking
+    (curation.chunk_documents, max_len=32 / stride=24, overlapping): every
+    window's index, start offset, length AND the chunk text verbatim reach
+    the hash; the oracle re-derives windows per doc via an unnested
+    generate_series over the same window-count formula."""
+    from trustfuse_spark.operators.curation import chunk_documents, pack_sequences
 
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     sel = d.select("source", "doc_id", F.size(toks).cast("long").alias("n_tokens"))
-    return pack_sequences(sel, capacity=256, group_col="source",
-                          order_col="doc_id", tokens_col="n_tokens")
+    p = pack_sequences(
+        sel, capacity=256, group_col="source",
+        order_col="doc_id", tokens_col="n_tokens",
+    ).select(
+        F.lit("pack").alias("gate"),
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("m1"),
+        F.col("bin_id").cast("long").alias("m2"),
+        F.col("bin_offset").cast("long").alias("m3"),
+        F.lit("").alias("txt"),
+    )
+    c = chunk_documents(d, max_len=32, stride=24).select(
+        F.lit("chunk").alias("gate"),
+        F.lit("").alias("source"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").alias("m1"),
+        F.col("start_tok").alias("m2"),
+        F.col("n_tok").alias("m3"),
+        F.col("chunk_text").alias("txt"),
+    )
+    return p.unionByName(c)
 
 
 def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1805,8 +1831,21 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs (dangling-mass scalar, per-dst contribution sum, rank update) —
     a from-scratch replay of the recurrence, not the operator. Ranks are
     rounded to 6 dp on both sides (sum-order float noise is ~1e-16 on
-    ranks ~5e-3)."""
-    from trustfuse_spark.operators.graph import pagerank
+    ranks ~5e-3).
+
+    Round-5 legs on the SAME edge universe, tag-unioned (gate column):
+    'tri'/'lcc' — per-node triangle count and local clustering coefficient
+    (graph.triangle_stats, degree-orientation node-iterator); the oracle
+    counts triangles independently via the a<b<c three-way self-join, which
+    must agree with the oriented plan exactly. 'lpa' — 2 synchronous
+    iterations of deterministic label propagation (max-count, ties to the
+    LARGEST label); the oracle unrolls both iterations with windowed
+    argmax CTEs. Labels ride the string column; numeric legs ride rank."""
+    from trustfuse_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+        triangle_stats,
+    )
 
     ev = _t(spark, sf_dir, "events")
     a = F.col("event_id") % 200
@@ -1822,8 +1861,32 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pr = pagerank(edges, iterations=3, damping=0.85)
-    return pr.select("node", F.round("rank", 6).alias("rank"))
+    pr = pagerank(edges, iterations=3, damping=0.85).select(
+        F.lit("pr").alias("gate"),
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    ts = triangle_stats(edges)
+    tri = ts.select(
+        F.lit("tri").alias("gate"),
+        "node",
+        F.col("triangles").cast("double").alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    lcc = ts.select(
+        F.lit("lcc").alias("gate"),
+        "node",
+        F.round("lcc", 6).alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    lpa = label_propagation(edges, iterations=2).select(
+        F.lit("lpa").alias("gate"),
+        "node",
+        F.lit(None).cast("double").alias("rank"),
+        "label",
+    )
+    return pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4112,8 +4175,73 @@ def oracle_sql() -> dict[str, str]:
                             * (COALESCE(c.ir, 0.0)
                                + (SELECT dm FROM d3) / (SELECT n FROM nn))
                             AS rank
-                   FROM base b LEFT JOIN c3 c ON b.node = c.node)
-            SELECT node, ROUND(rank, 6) AS rank FROM r3
+                   FROM base b LEFT JOIN c3 c ON b.node = c.node),
+            -- triangle / lcc legs: undirected simple graph, triangles
+            -- counted ONCE each via the a<b<c three-way self-join — an
+            -- orientation-free replay independent of the engine's
+            -- degree-oriented plan.
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            udeg AS (SELECT node, COUNT(*) AS deg FROM (
+                       SELECT a AS node FROM und
+                       UNION ALL SELECT b FROM und) GROUP BY node),
+            tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM und e1
+                     JOIN und e2 ON e2.a = e1.b
+                     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tcnt AS (SELECT node, COUNT(*) AS t FROM (
+                       SELECT x AS node FROM tris
+                       UNION ALL SELECT y FROM tris
+                       UNION ALL SELECT z FROM tris) GROUP BY node),
+            tstats AS (SELECT d.node, CAST(COALESCE(t.t, 0) AS BIGINT) AS t,
+                              d.deg
+                       FROM udeg d LEFT JOIN tcnt t ON d.node = t.node),
+            -- lpa leg: 2 synchronous iterations unrolled, argmax by
+            -- (count DESC, label DESC) via ROW_NUMBER
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            l0 AS (SELECT node, node AS label FROM nodes),
+            c1l AS (SELECT adj.node, l.label, COUNT(*) AS c
+                    FROM adj JOIN l0 l ON adj.nbr = l.node
+                    GROUP BY adj.node, l.label),
+            w1 AS (SELECT node, label,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                                             ORDER BY c DESC, label DESC)
+                            AS rn
+                   FROM c1l),
+            l1 AS (SELECT n.node, COALESCE(w.label, n.node) AS label
+                   FROM nodes n
+                   LEFT JOIN (SELECT node, label FROM w1 WHERE rn = 1) w
+                     ON n.node = w.node),
+            c2l AS (SELECT adj.node, l.label, COUNT(*) AS c
+                    FROM adj JOIN l1 l ON adj.nbr = l.node
+                    GROUP BY adj.node, l.label),
+            w2 AS (SELECT node, label,
+                          ROW_NUMBER() OVER (PARTITION BY node
+                                             ORDER BY c DESC, label DESC)
+                            AS rn
+                   FROM c2l),
+            l2 AS (SELECT n.node, COALESCE(w.label, p.label) AS label
+                   FROM nodes n
+                   JOIN l1 p ON n.node = p.node
+                   LEFT JOIN (SELECT node, label FROM w2 WHERE rn = 1) w
+                     ON n.node = w.node)
+            SELECT 'pr' AS gate, node, ROUND(rank, 6) AS rank,
+                   CAST(NULL AS VARCHAR) AS label
+            FROM r3
+            UNION ALL
+            SELECT 'tri', node, CAST(t AS DOUBLE), CAST(NULL AS VARCHAR)
+            FROM tstats
+            UNION ALL
+            SELECT 'lcc', node,
+                   ROUND(CASE WHEN deg >= 2
+                              THEN 2.0 * t / (deg * (deg - 1))
+                              ELSE 0.0 END, 6),
+                   CAST(NULL AS VARCHAR)
+            FROM tstats
+            UNION ALL
+            SELECT 'lpa', node, CAST(NULL AS DOUBLE), label FROM l2
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count
@@ -4312,10 +4440,38 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN p.fill + d.tok > 256 THEN d.tok
                           ELSE p.fill + d.tok END
               FROM pack p JOIN docs2 d
-                ON d.source = p.source AND d.rn = p.rn + 1)
-            SELECT source, doc_id, tok AS n_tokens, bin_id,
-                   fill - tok AS bin_offset
+                ON d.source = p.source AND d.rn = p.rn + 1),
+            -- chunk leg: sliding windows of <=32 tokens at stride 24,
+            -- window count re-derived from the same formula the engine
+            -- uses (1 window when n<=32, else ((n-32+23)//24)+1)
+            ctoks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            cwin AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE ((len(toks) - 32 + 23) // 24) + 1 END AS nw
+              FROM ctoks WHERE len(toks) > 0),
+            cidx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, nw - 1)) AS i
+              FROM cwin),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i * 24 AS BIGINT) AS start_tok,
+                     list_slice(toks, i * 24 + 1, i * 24 + 32) AS ck
+              FROM cidx)
+            SELECT 'pack' AS gate, source, doc_id,
+                   CAST(tok AS BIGINT) AS m1, bin_id AS m2,
+                   CAST(fill - tok AS BIGINT) AS m3, '' AS txt
             FROM pack
+            UNION ALL
+            SELECT 'chunk', '', doc_id, chunk_idx, start_tok,
+                   CAST(len(ck) AS BIGINT), array_to_string(ck, ' ')
+            FROM chunks
         """,
         # Consolidated r5 gate: mixture plan rows + materialized per-doc
         # epochs tag-unioned (bodies in _MIX_PLAN_SQL / _MIX_APPLY_SQL).

@@ -382,6 +382,60 @@ def stratified_sample(
     return docs.withColumn("u", F.round(u, 6)).filter(F.col("u") < rate)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: split every document into windows of
+    at most ``max_len`` whitespace tokens, window ``i`` starting at token
+    ``i*stride`` (0-based). The last window may be shorter; windows that
+    would start at or past the end are not emitted; empty documents emit
+    no rows. ``stride == max_len`` (the default) gives non-overlapping
+    chunks; ``stride < max_len`` gives the overlapping context windows LLM
+    pretraining uses so no span is ever seen only at a window boundary.
+
+    Scale shape: pure per-row expressions — tokenize, a ``sequence``
+    explode sized by the window-count formula, one ``slice`` per window.
+    Zero shuffles, whole-stage codegen end-to-end; output rows carry only
+    their own window, so a 100-TB corpus streams through map tasks.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tok, chunk_text).
+    """
+    if stride is None:
+        stride = max_len
+    if max_len < 1 or stride < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    toks = _tokens(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    n_win = (
+        F.when(n <= max_len, F.lit(1))
+        .otherwise(F.floor((n - F.lit(max_len) + F.lit(stride - 1)) / F.lit(stride)) + 1)
+        .cast("int")
+    )
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+                F.lit(None).cast("array<int>")
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx").cast("long") * stride
+    chunk = F.slice("toks", F.col("chunk_idx") * stride + 1, max_len)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def _pack_greedy(toks, capacity: int, fill: int, breaks: int, fresh: bool):
     """The sequential first-fit fold: returns (bin_ids, offsets) given the
     carry-in state. ``fresh`` marks the true start of a shard — the very

@@ -84,6 +84,148 @@ def ego_subgraph(edges: DataFrame, root: str, hops: int = 1) -> DataFrame:
     return out.groupBy("src", "dst", "pred").agg(F.min("hop").alias("hop"))
 
 
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected simple graph underlying ``edges`` (src/dst; direction,
+    predicates and multi-edges collapse; self-loops drop).
+
+    KG-topology quality signal: high-LCC entity neighborhoods are densely
+    cross-referenced (reliable hubs), zero-LCC stars are extraction noise.
+
+    Scale shape — the standard degree-orientation node-iterator: each
+    undirected edge is oriented from its lower (degree, node) endpoint to
+    the higher, so every wedge is enumerated at its LOWEST-degree apex and
+    the self-join fan-out per node is bounded by O(sqrt(m)) on any graph
+    (arboricity bound), celebrity hubs included — the orientation is what
+    makes this survive a power-law KG at 10^12 edges. Three shuffles total
+    (degree agg, wedge self-join, closing-edge join); the per-triangle
+    explode is map-side.
+
+    Returns (node, triangles, lcc) with lcc = 2*T / (deg*(deg-1)), 0.0
+    when deg < 2.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # attach both endpoint degrees, orient low-(deg,node) -> high
+    w = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    ra = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    o = w.select(
+        F.when(ra < rb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(ra < rb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(ra < rb, rb).otherwise(ra).alias("rhi"),
+    ).localCheckpoint(eager=True)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1.rhi") < F.col("e2.rhi")),
+    ).select(
+        F.col("e1.lo").alias("apex"),
+        F.col("e1.hi").alias("lo"),
+        F.col("e2.hi").alias("hi"),
+    )
+    # wedge (apex; b, c) closes iff oriented edge (b, c) exists — b precedes
+    # c in the same (deg, node) order the orientation used, so the closing
+    # edge can only be stored as (lo=b, hi=c).
+    tris = wedges.join(o.select("lo", "hi"), ["lo", "hi"], "inner")
+    tri_n = (
+        tris.select(
+            F.explode(F.array("apex", "lo", "hi")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(tri_n, "node", "left")
+        .fillna(0, subset=["triangles"])
+        .select(
+            "node",
+            "triangles",
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over the undirected simple graph underlying ``edges``.
+
+    Every node starts labeled with itself; each iteration relabels every
+    node with the most frequent label among its neighbors' PREVIOUS labels,
+    ties broken to the lexicographically LARGEST label (a fixed rule makes
+    the whole run deterministic and oracle-replayable — classic async LPA
+    with random tie-breaks is not). Isolated nodes keep their own label.
+
+    Scale shape per iteration: one join of the adjacency list against the
+    (|V|-row, 2-col) label table — key-partitioned, AQE-skew-splittable —
+    and ONE hash aggregate producing the argmax via max(struct(count,
+    label)) — no window, no sort, map-side partials. The label table is
+    localCheckpoint-rotated so lineage stays bounded, same as pagerank.
+
+    Returns (node, label).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        nl = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c").alias("c"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("new_label"))
+        )
+        labels = (
+            labels.join(nl, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
