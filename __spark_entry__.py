@@ -1840,8 +1840,15 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree with the oriented plan exactly. 'lpa' — 2 synchronous
     iterations of deterministic label propagation (max-count, ties to the
     LARGEST label); the oracle unrolls both iterations with windowed
-    argmax CTEs. Labels ride the string column; numeric legs ride rank."""
+    argmax CTEs. Labels ride the string column; numeric legs ride rank.
+    'kcore' — the k=7 core (graph.k_core iterative peel to fixpoint) with
+    each survivor's in-core degree; 12 of the 200 nodes peel off at this
+    k, so the leg is value-bearing. The oracle unrolls THREE peel rounds
+    (degree agg -> keep >= 7 -> filter both endpoints); the gate universe
+    reaches fixpoint after one real round, so the extra unrolled rounds
+    are idempotent and the replay is depth-independent."""
     from trustfuse_spark.operators.graph import (
+        k_core,
         label_propagation,
         pagerank,
         triangle_stats,
@@ -1886,7 +1893,15 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("rank"),
         "label",
     )
-    return pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
+    kc = k_core(edges, k=7).select(
+        F.lit("kcore").alias("gate"),
+        "node",
+        F.col("core_deg").cast("double").alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    return (
+        pr.unionByName(tri).unionByName(lcc).unionByName(lpa).unionByName(kc)
+    )
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,7 +4241,30 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n
                    JOIN l1 p ON n.node = p.node
                    LEFT JOIN (SELECT node, label FROM w2 WHERE rn = 1) w
-                     ON n.node = w.node)
+                     ON n.node = w.node),
+            -- kcore leg: k=7 peel unrolled 3 rounds (fixpoint after the
+            -- first real round here; extra rounds are idempotent)
+            kd1 AS (SELECT node, COUNT(*) AS deg FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY node),
+            ke1 AS (SELECT e.a, e.b FROM und e
+                    JOIN kd1 x ON e.a = x.node AND x.deg >= 7
+                    JOIN kd1 y ON e.b = y.node AND y.deg >= 7),
+            kd2 AS (SELECT node, COUNT(*) AS deg FROM (
+                      SELECT a AS node FROM ke1
+                      UNION ALL SELECT b FROM ke1) GROUP BY node),
+            ke2 AS (SELECT e.a, e.b FROM ke1 e
+                    JOIN kd2 x ON e.a = x.node AND x.deg >= 7
+                    JOIN kd2 y ON e.b = y.node AND y.deg >= 7),
+            kd3 AS (SELECT node, COUNT(*) AS deg FROM (
+                      SELECT a AS node FROM ke2
+                      UNION ALL SELECT b FROM ke2) GROUP BY node),
+            ke3 AS (SELECT e.a, e.b FROM ke2 e
+                    JOIN kd3 x ON e.a = x.node AND x.deg >= 7
+                    JOIN kd3 y ON e.b = y.node AND y.deg >= 7),
+            kcore AS (SELECT node, COUNT(*) AS cd FROM (
+                        SELECT a AS node FROM ke3
+                        UNION ALL SELECT b FROM ke3) GROUP BY node)
             SELECT 'pr' AS gate, node, ROUND(rank, 6) AS rank,
                    CAST(NULL AS VARCHAR) AS label
             FROM r3
@@ -4242,6 +4280,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tstats
             UNION ALL
             SELECT 'lpa', node, CAST(NULL AS DOUBLE), label FROM l2
+            UNION ALL
+            SELECT 'kcore', node, CAST(cd AS DOUBLE), CAST(NULL AS VARCHAR)
+            FROM kcore
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from trustfuse_spark.operators.curation import chunk_documents
-from trustfuse_spark.operators.graph import label_propagation, triangle_stats
+from trustfuse_spark.operators.graph import (
+    k_core,
+    label_propagation,
+    triangle_stats,
+)
 
 
 # ------------------------------------------------------------- triangles
@@ -119,6 +123,70 @@ def test_lpa_isolated_node_keeps_label(spark):
            for r in label_propagation(_edges(spark, pairs), iterations=3).collect()}
     assert got["q"] == "q"
     assert set(got) == {"a", "b", "q"}
+
+
+# --------------------------------------------------------------- k-core
+
+
+def test_kcore_cascading_peel(spark):
+    # K4 clique (the 3-core) with a pendant CHAIN d-p1-p2-p3: each chain
+    # node has degree <= 2, but they peel one per round from the far end
+    # inward — a genuine multi-round cascade, which the gate's near-regular
+    # 200-node universe never exercises (it fixpoints after one round).
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "p1"), ("p1", "p2"), ("p2", "p3"),
+    ]
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(_edges(spark, pairs), k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(40)]
+    pairs = [
+        (a, b) for a in nodes for b in nodes
+        if a != b and rng.random() < 0.10
+    ]
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_deg"]
+               for r in k_core(_edges(spark, pairs), k=k).collect()}
+        # reference peel over the undirected simple graph
+        und = {frozenset(p) for p in pairs}
+        while True:
+            deg = {}
+            for e in und:
+                for n in e:
+                    deg[n] = deg.get(n, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                break
+            und = {e for e in und if not (e & drop)}
+        deg = {}
+        for e in und:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        assert got == deg, k
+
+
+def test_kcore_empty_when_no_core(spark):
+    # a tree has no 2-core
+    pairs = [("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")]
+    assert k_core(_edges(spark, pairs), k=2).count() == 0
+
+
+def test_kcore_noise_collapses(spark):
+    # dup/reversed edges and self-loops must not inflate degrees
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("a", "c"),
+        ("a", "a"), ("c", "c"),
+    ]
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(_edges(spark, pairs), k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
 
 
 # ------------------------------------------------------------ chunking
