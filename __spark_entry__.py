@@ -1305,15 +1305,40 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold stratified sampling by lang
-    (curation.stratified_sample with the engine-portable draw). The oracle
-    recomputes the exact polynomial fold + two mix rounds per key, so a
-    single off-by-one in the draw or the per-stratum rate breaks the hash."""
-    from trustfuse_spark.operators.curation import stratified_sample
+    (curation.stratified_sample with the engine-portable draw), gate='sample'.
+    The oracle recomputes the exact polynomial fold + two mix rounds per key,
+    so a single off-by-one in the draw or the per-stratum rate breaks the hash.
+
+    Round-5 leg, tag-unioned: gate='cap' — exact per-domain cap
+    (curation.domain_cap, domain=lang, cap=100, top by n_chars desc /
+    doc_id asc). At sf0.01 'en' (218 docs) is over-cap and exercises the
+    salted two-level rank path; the other four langs pass through the
+    broadcast anti-path with cap_rank=-1. The oracle re-ranks capped
+    domains with a window over a domain-count join, so both the kept set
+    AND every rank value are hashed."""
+    from trustfuse_spark.operators.curation import domain_cap, stratified_sample
 
     d = _t(spark, sf_dir, "documents")
     rates = {"en": 0.6, "de": 0.35, "fr": 0.5, "zh": 0.2}
     out = stratified_sample(d, "lang", rates, key_col="doc_id", default_rate=0.15, salt=5)
-    return out.select("doc_id", "lang", "u")
+    sample_leg = out.select(
+        F.lit("sample").alias("gate"),
+        "doc_id",
+        F.col("lang").alias("k"),
+        F.col("u").alias("score"),
+        F.lit(-1).cast("long").alias("rnk"),
+    )
+    capped = domain_cap(
+        d, "lang", cap=100, order_col="n_chars", tie_col="doc_id", n_salts=8
+    )
+    cap_leg = capped.select(
+        F.lit("cap").alias("gate"),
+        "doc_id",
+        F.col("lang").alias("k"),
+        F.col("n_chars").cast("double").alias("score"),
+        F.col("cap_rank").alias("rnk"),
+    )
+    return sample_leg.unionByName(cap_leg)
 
 
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4432,10 +4457,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({_LINE_DEDUP_SQL}) ld USING (doc_id)
             JOIN ({_QSCORE_SQL}) q USING (doc_id)
         """,
-        # Deterministic stratified sampling: the draw is the 31-bit
-        # polynomial char fold over CAST(doc_id AS VARCHAR) (seed 7+salt=12)
-        # plus two Knuth mix rounds, divided by 2^31-1; filter on the SAME
-        # rounded u the Spark side filters on.
+        # gate='sample': deterministic stratified sampling — the draw is the
+        # 31-bit polynomial char fold over CAST(doc_id AS VARCHAR) (seed
+        # 7+salt=12) plus two Knuth mix rounds, divided by 2^31-1; filter on
+        # the SAME rounded u the Spark side filters on.
+        # gate='cap': exact per-domain cap (domain=lang, cap=100, top by
+        # n_chars DESC, doc_id ASC) — re-ranked here with a window over a
+        # domain-count join; under-cap domains keep every row at rnk=-1.
         "stratified_sample_docs": r"""
             WITH h AS (
               SELECT doc_id, lang,
@@ -4454,11 +4482,28 @@ def oracle_sql() -> dict[str, str]:
             u AS (
               SELECT doc_id, lang,
                      ROUND(hm / 2147483647.0, 6) AS u
-              FROM m)
-            SELECT doc_id, lang, u FROM u
+              FROM m),
+            dc AS (
+              SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            ranked AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(d.n_chars AS DOUBLE) AS score,
+                     CAST(row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS BIGINT) AS rn,
+                     dc.n
+              FROM documents d JOIN dc USING (lang))
+            SELECT 'sample' AS gate, doc_id, lang AS k, u AS score,
+                   CAST(-1 AS BIGINT) AS rnk
+            FROM u
             WHERE u < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35
                                 WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.2
                                 ELSE 0.15 END
+            UNION ALL
+            SELECT 'cap' AS gate, doc_id, lang AS k, score,
+                   CASE WHEN n > 100 THEN rn ELSE CAST(-1 AS BIGINT) END AS rnk
+            FROM ranked
+            WHERE n <= 100 OR rn <= 100
         """,
         # Greedy first-fit packing replayed as a sequential recursive-CTE
         # fold per source shard (docs in doc_id order, capacity 256).

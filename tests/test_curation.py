@@ -736,3 +736,56 @@ def test_dsir_select_xxhash_deterministic_and_k(spark):
     picked = {r["doc_id"] for r in a if r["selected"] == 1}
     # softmax-weighted sampling should enrich the target-like docs
     assert sum(1 for i in picked if i % 3 == 0) >= 10
+
+
+def test_domain_cap_exact_vs_naive(spark):
+    """domain_cap == the naive global window rank for every (domain, row),
+    regardless of n_salts or input partitioning; under-cap domains pass
+    through complete with cap_rank=-1."""
+    from pyspark.sql import Window
+
+    from trustfuse_spark.operators.curation import domain_cap
+
+    rows = []
+    # hot domain: 40 rows with heavy score ties; cold domains: under cap
+    for i in range(40):
+        rows.append((i, "hot", i % 5))
+    for i in range(40, 48):
+        rows.append((i, "cold1", i))
+    for i in range(48, 51):
+        rows.append((i, "cold2", 7))
+    docs = spark.createDataFrame(rows, "doc_id long, dom string, score long")
+
+    w = Window.partitionBy("dom").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    naive = {
+        (r["dom"], r["doc_id"]): r["rn"]
+        for r in docs.withColumn("rn", F.row_number().over(w)).collect()
+        if r["rn"] <= 10
+    }
+    for n_salts in (1, 4, 64):
+        out = domain_cap(
+            docs.repartition(5), "dom", cap=10, order_col="score", n_salts=n_salts
+        ).collect()
+        got = {(r["dom"], r["doc_id"]): r["cap_rank"] for r in out}
+        hot = {k: v for k, v in got.items() if k[0] == "hot"}
+        assert hot == {k: v for k, v in naive.items() if k[0] == "hot"}
+        # cold domains: every row kept, sentinel rank
+        assert sorted(k[1] for k in got if k[0] == "cold1") == list(range(40, 48))
+        assert sorted(k[1] for k in got if k[0] == "cold2") == [48, 49, 50]
+        assert all(v == -1 for k, v in got.items() if k[0] != "hot")
+
+
+def test_domain_cap_ascending_and_boundary(spark):
+    """descending=False ranks smallest-first; a domain with exactly cap rows
+    is NOT capped (strict > cap) and passes through."""
+    from trustfuse_spark.operators.curation import domain_cap
+
+    rows = [(i, "a", i) for i in range(6)] + [(10 + i, "b", i) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, dom string, score long")
+    out = domain_cap(
+        docs, "dom", cap=3, order_col="score", descending=False, n_salts=2
+    ).collect()
+    a = sorted((r["doc_id"], r["cap_rank"]) for r in out if r["dom"] == "a")
+    assert a == [(0, 1), (1, 2), (2, 3)]  # smallest scores win
+    b = sorted((r["doc_id"], r["cap_rank"]) for r in out if r["dom"] == "b")
+    assert b == [(10, -1), (11, -1), (12, -1)]  # exactly cap -> untouched

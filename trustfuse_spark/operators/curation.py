@@ -1151,3 +1151,80 @@ def dsir_select(
         F.round("__g", 6).alias("gumbel_key"),
         F.col("__tid").isNotNull().cast("int").alias("selected"),
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str,
+    tie_col: str = "doc_id",
+    descending: bool = True,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exact per-domain document cap: keep at most ``cap`` rows per domain,
+    the top ``cap`` by (``order_col``, tie-broken by ``tie_col`` ascending) —
+    the standard corpus-balancing step that stops one giant domain (a crawl
+    of a single host, one boilerplate-heavy source) from dominating a
+    training mixture. RefinedWeb/Gopher-style pipelines apply exactly this
+    after dedup; the reference's analogue is its per-bucket claim focus
+    (SURVEY §2.2), which bounds how much any one source contributes to a
+    fused fact.
+
+    The result is the unique exact top-``cap`` set per over-cap domain
+    (``tie_col`` must be unique — it makes the total order strict, so the
+    kept set does not depend on partitioning, salting, or retries), plus
+    every row of every under-cap domain untouched.
+
+    Plan shape (the 100-TB contract):
+
+    - One partial (map-side combined) count per domain — the only full-data
+      shuffle, and it moves (domain, count) pairs, not documents.
+    - Domains at or under the cap — at web scale, the long tail holding most
+      of the corpus — pass through via a broadcast join against the
+      OVER-cap domain list (at most corpus_size / cap domains, so the
+      broadcast is bounded by construction) and never shuffle.
+    - Over-cap domains run a salted two-level top-k: level 1 ranks within
+      (domain, salt = xxhash64(tie) % n_salts) and keeps ``cap`` rows per
+      salted group, so no single task ever sorts a whole hot domain; level 2
+      ranks the <= n_salts * cap survivors per domain — a bounded-size
+      final sort per domain. Exactness holds because a global top-cap row is
+      a top-cap row of ANY subset containing it, so level 1 never drops a
+      final winner.
+
+    Output: the input columns plus ``cap_rank`` — the 1-based rank for rows
+    of capped domains, ``-1`` for pass-through rows (a sentinel, not NULL,
+    so gate hashes stay canonical). Rows of capped domains beyond ``cap``
+    are dropped.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.filter(F.col("__n") > cap).select(
+        domain_col, F.lit(True).alias("__over")
+    )
+    marked = docs.join(F.broadcast(over), domain_col, "left")
+    passthru = (
+        marked.filter(F.col("__over").isNull())
+        .drop("__over")
+        .withColumn("cap_rank", F.lit(-1).cast("long"))
+    )
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [key, F.col(tie_col).asc()]
+    w1 = Window.partitionBy(domain_col, "__salt").orderBy(*order)
+    lvl1 = (
+        marked.filter(F.col("__over").isNotNull())
+        .drop("__over")
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(n_salts)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    top = (
+        lvl1.withColumn("cap_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("cap_rank") <= cap)
+    )
+    return passthru.unionByName(top)
