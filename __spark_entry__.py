@@ -1871,10 +1871,17 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, so the leg is value-bearing. The oracle unrolls THREE peel rounds
     (degree agg -> keep >= 7 -> filter both endpoints); the gate universe
     reaches fixpoint after one real round, so the extra unrolled rounds
-    are idempotent and the replay is depth-independent."""
+    are idempotent and the replay is depth-independent.
+    'aa' — common-neighbor / Adamic-Adar link prediction
+    (graph.link_prediction): every NON-adjacent pair with >=1 common
+    neighbor, node = 'a|b', rank = the Adamic-Adar score, label = the
+    common-neighbor count; the oracle re-enumerates wedges from the raw
+    adjacency and re-applies the existing-edge anti-join, so both the
+    proposed-pair set and every score reach the hash."""
     from trustfuse_spark.operators.graph import (
         k_core,
         label_propagation,
+        link_prediction,
         pagerank,
         triangle_stats,
     )
@@ -1924,8 +1931,15 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("core_deg").cast("double").alias("rank"),
         F.lit(None).cast("string").alias("label"),
     )
+    aa = link_prediction(edges).select(
+        F.lit("aa").alias("gate"),
+        F.concat("node_a", F.lit("|"), "node_b").alias("node"),
+        F.col("adamic_adar").alias("rank"),
+        F.col("common_neighbors").cast("string").alias("label"),
+    )
     return (
-        pr.unionByName(tri).unionByName(lcc).unionByName(lpa).unionByName(kc)
+        pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
+        .unionByName(kc).unionByName(aa)
     )
 
 
@@ -4289,7 +4303,20 @@ def oracle_sql() -> dict[str, str]:
                     JOIN kd3 y ON e.b = y.node AND y.deg >= 7),
             kcore AS (SELECT node, COUNT(*) AS cd FROM (
                         SELECT a AS node FROM ke3
-                        UNION ALL SELECT b FROM ke3) GROUP BY node)
+                        UNION ALL SELECT b FROM ke3) GROUP BY node),
+            -- aa leg: Adamic-Adar over wedges enumerated at the common
+            -- neighbor, existing edges removed by an anti pattern
+            aawedge AS (SELECT l.nbr AS a, r.nbr AS b,
+                               1.0 / ln(CAST(d.deg AS DOUBLE)) AS w
+                        FROM adj l
+                        JOIN adj r ON l.node = r.node AND l.nbr < r.nbr
+                        JOIN udeg d ON d.node = l.node),
+            aag AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+                           ROUND(SUM(w), 6) AS aa
+                    FROM aawedge GROUP BY a, b),
+            aap AS (SELECT g.a, g.b, g.cn, g.aa FROM aag g
+                    LEFT JOIN und u ON u.a = g.a AND u.b = g.b
+                    WHERE u.a IS NULL)
             SELECT 'pr' AS gate, node, ROUND(rank, 6) AS rank,
                    CAST(NULL AS VARCHAR) AS label
             FROM r3
@@ -4308,6 +4335,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'kcore', node, CAST(cd AS DOUBLE), CAST(NULL AS VARCHAR)
             FROM kcore
+            UNION ALL
+            SELECT 'aa', a || '|' || b, aa, CAST(cn AS VARCHAR) FROM aap
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count

@@ -246,3 +246,72 @@ def test_chunk_rejects_bad_params(spark):
         chunk_documents(_docs(spark, [(1, "a")]), max_len=0)
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, [(1, "a")]), max_len=4, stride=0)
+
+
+def test_link_prediction_matches_bruteforce_random(spark):
+    """link_prediction == a Python brute-force Adamic-Adar over every
+    non-adjacent pair, on a random 30-node graph."""
+    import math
+    import random
+
+    from trustfuse_spark.operators.graph import link_prediction
+
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(30)]
+    pairs = [
+        (a, b) for a in nodes for b in nodes
+        if a != b and rng.random() < 0.10
+    ]
+    und = {frozenset(p) for p in pairs}
+    adj = {n: set() for n in nodes}
+    for e in und:
+        a, b = sorted(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b in itertools.combinations(sorted(nodes), 2):
+        if frozenset((a, b)) in und:
+            continue
+        common = adj[a] & adj[b]
+        if common:
+            want[(a, b)] = (
+                len(common),
+                round(sum(1.0 / math.log(len(adj[w])) for w in common), 6),
+            )
+    got = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_prediction(_edges(spark, pairs)).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, aa) in want.items():
+        assert got[k][0] == cn, k
+        assert abs(got[k][1] - aa) < 1e-6, k
+
+
+def test_link_prediction_max_degree_shed(spark):
+    """Apexes above max_degree are excluded from wedge enumeration: in a
+    star + one side pair, capping below the hub degree removes every
+    hub-mediated pair; leaf-mediated wedges survive."""
+    from trustfuse_spark.operators.graph import link_prediction
+
+    # hub h connects to l0..l4; l0-x and l1-x give x<->h wedges through
+    # l0/l1 (degree 2 apexes)
+    pairs = [("h", f"l{i}") for i in range(5)] + [("l0", "x"), ("l1", "x")]
+    full = {
+        (r["node_a"], r["node_b"]): r["common_neighbors"]
+        for r in link_prediction(_edges(spark, pairs)).collect()
+    }
+    # hub-mediated only: l2/l3 share just h
+    assert full[("l2", "l3")] == 1
+    # l0/l1 share h AND x; x and h share l0 AND l1
+    assert full[("l0", "l1")] == 2
+    assert full[("h", "x")] == 2
+    capped = {
+        (r["node_a"], r["node_b"]): r["common_neighbors"]
+        for r in link_prediction(_edges(spark, pairs), max_degree=4).collect()
+    }
+    # hub (deg 5) shed as apex: purely hub-mediated pairs gone
+    assert ("l2", "l3") not in capped
+    # wedges through deg-2 apexes survive
+    assert capped[("h", "x")] == 2
+    assert capped[("l0", "l1")] == 1

@@ -355,3 +355,65 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 30) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_deg"))
     )
+
+
+def link_prediction(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction over the undirected
+    simple graph underlying ``edges`` — the classic missing-edge scorer a
+    KG-construction pipeline runs after canonicalization to propose links
+    extraction missed (Adamic & Adar 2003; Liben-Nowell & Kleinberg 2003):
+    for every non-adjacent pair (a, b) with at least one common neighbor,
+
+        cn(a, b) = |N(a) ∩ N(b)|
+        aa(a, b) = sum over w in N(a) ∩ N(b) of 1 / ln(deg(w))
+
+    (a wedge apex always has deg >= 2, so ln(deg) > 0).
+
+    Scale shape: wedges enumerate at the COMMON NEIGHBOR — one self-join of
+    the adjacency on the apex with ``x < y`` dedup, then a (pair)-keyed hash
+    agg (map-side combined) and a left_anti join against the edge set to
+    keep non-edges only. Apex fan-out is deg(w)^2, so a celebrity hub would
+    explode quadratically; ``max_degree`` sheds apexes above the cap BEFORE
+    the self-join (one broadcast-able high-degree list) — the standard
+    guard, and principled here: 1/ln(deg) sends a mega-hub's evidence to ~0,
+    so the shed removes cost, not signal. Same cap-and-document contract as
+    the LSH bucket shedders (dedup.py).
+
+    Returns (node_a, node_b, common_neighbors, adamic_adar) with
+    node_a < node_b; adamic_adar rounded to 6 dp (sum-order float noise).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
+    apex = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        apex = apex.filter(F.col("deg") <= max_degree)
+    adj_w = adj.join(apex, "w").select("w", "x", "deg")
+    l, r = adj_w.alias("l"), adj_w.alias("r")
+    pairs = l.join(
+        r, (F.col("l.w") == F.col("r.w")) & (F.col("l.x") < F.col("r.x"))
+    ).select(
+        F.col("l.x").alias("a"),
+        F.col("r.x").alias("b"),
+        (F.lit(1.0) / F.log(F.col("l.deg").cast("double"))).alias("aaw"),
+    )
+    scored = pairs.groupBy("a", "b").agg(
+        F.count("*").alias("common_neighbors"),
+        F.round(F.sum("aaw"), 6).alias("adamic_adar"),
+    )
+    return scored.join(und, ["a", "b"], "left_anti").select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "common_neighbors",
+        "adamic_adar",
+    )
