@@ -1556,7 +1556,18 @@ def simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture pair tag-unioned: the domain-mixture plan rows (gate='plan',
     key='') and the materialized per-doc epochs (gate='apply'). Numeric
-    metrics ride as doubles; absent columns are NULL."""
+    metrics ride as doubles; absent columns are NULL.
+
+    Round-5 leg, gate='temp': temperature-scaled shares
+    (curation.temperature_shares, T=2 — the sqrt case, correctly rounded
+    IEEE on every engine) over ALL 20 source domains with the same 50k
+    budget: share (6 dp, m1), target_tokens (m2), rate (m3), epochs (m4)
+    all hashed (domain_tokens already reaches the hash via the 'plan'
+    leg's m1 — same tokenization, same sources); the oracle re-derives
+    p_d, the sqrt, the normalizer, and the plan arithmetic from scratch
+    in SQL."""
+    from trustfuse_spark.operators.curation import temperature_shares
+
     a = mixture_plan_docs(spark, sf_dir).select(
         F.lit("plan").alias("gate"),
         "source",
@@ -1575,7 +1586,19 @@ def mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
-    return a.unionByName(b)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    sel = d.select("source", F.size(toks).cast("long").alias("n_tokens"))
+    c = temperature_shares(sel, temperature=2.0, token_budget=50000).select(
+        F.lit("temp").alias("gate"),
+        "source",
+        F.lit("").alias("key"),
+        F.col("share").alias("m1"),
+        F.col("target_tokens").cast("double").alias("m2"),
+        F.col("rate").alias("m3"),
+        F.col("epochs").cast("double").alias("m4"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4601,6 +4624,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
                    CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
             FROM ({_MIX_APPLY_SQL})
+            UNION ALL
+            SELECT 'temp' AS gate, source, '' AS key,
+                   ROUND(share, 6) AS m1, CAST(tgt AS DOUBLE) AS m2,
+                   ROUND(tgt * 1.0 / domain_tokens, 6) AS m3,
+                   CAST(CEIL(tgt * 1.0 / domain_tokens) AS DOUBLE) AS m4
+            FROM (
+              SELECT source, domain_tokens, share,
+                     CAST(ROUND(share * 50000) AS BIGINT) AS tgt
+              FROM (
+                WITH t AS (
+                  SELECT source,
+                         SUM(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x != ''))) AS domain_tokens
+                  FROM documents GROUP BY source),
+                p AS (
+                  SELECT source, domain_tokens,
+                         sqrt(domain_tokens * 1.0
+                              / (SELECT SUM(domain_tokens) FROM t)) AS pt
+                  FROM t)
+                SELECT source, domain_tokens,
+                       pt / (SELECT SUM(pt) FROM p) AS share
+                FROM p))
         """,
         # Full curation-chain replay: dedup (min doc_id per text) -> the
         # complete quality_features score -> decontamination -> portable

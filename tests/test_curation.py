@@ -789,3 +789,44 @@ def test_domain_cap_ascending_and_boundary(spark):
     assert a == [(0, 1), (1, 2), (2, 3)]  # smallest scores win
     b = sorted((r["doc_id"], r["cap_rank"]) for r in out if r["dom"] == "b")
     assert b == [(10, -1), (11, -1), (12, -1)]  # exactly cap -> untouched
+
+
+def test_temperature_shares_closed_form(spark):
+    """Shares match the Python p^(1/T) replay; T=1 reproduces natural
+    proportions; larger T flattens toward uniform; budget columns mirror
+    mixture_plan's arithmetic; zero-token domains get share 0."""
+    import math
+
+    from trustfuse_spark.operators.curation import temperature_shares
+
+    rows = [("a", 800), ("a", 0), ("b", 150), ("c", 50), ("z", 0)]
+    docs = spark.createDataFrame(rows, "source string, n_tokens long")
+    toks = {"a": 800, "b": 150, "c": 50, "z": 0}
+    total = sum(toks.values())
+
+    for T in (1.0, 2.0, 8.0):
+        got = {
+            r["source"]: r
+            for r in temperature_shares(docs, T, token_budget=1000).collect()
+        }
+        pt = {d: (n / total) ** (1.0 / T) for d, n in toks.items()}
+        z = sum(pt.values())
+        for d, n in toks.items():
+            want = pt[d] / z
+            assert got[d]["domain_tokens"] == n
+            assert got[d]["share"] == pytest.approx(round(want, 6), abs=2e-6)
+            tgt = round(want * 1000)
+            assert got[d]["target_tokens"] == tgt
+            if n > 0:
+                assert got[d]["rate"] == pytest.approx(round(tgt / n, 6), abs=2e-6)
+                assert got[d]["epochs"] == math.ceil(tgt / n)
+            else:
+                assert got[d]["rate"] == 0.0 and got[d]["epochs"] == 0
+    # monotone flattening: the dominant domain's share shrinks as T grows
+    s1 = {r["source"]: r["share"]
+          for r in temperature_shares(docs, 1.0).collect()}
+    s8 = {r["source"]: r["share"]
+          for r in temperature_shares(docs, 8.0).collect()}
+    assert s8["a"] < s1["a"] and s8["c"] > s1["c"]
+    with pytest.raises(ValueError):
+        temperature_shares(docs, 0.0)

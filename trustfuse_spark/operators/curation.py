@@ -1228,3 +1228,80 @@ def domain_cap(
         .filter(F.col("cap_rank") <= cap)
     )
     return passthru.unionByName(top)
+
+
+def temperature_shares(
+    docs: DataFrame,
+    temperature: float,
+    token_budget: int | None = None,
+    domain_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-LM sampling rule
+    of Conneau & Lample 2019 / mT5, Xue et al. 2021): each domain's share is
+
+        share_d = p_d^(1/T) / sum_e p_e^(1/T),   p_d = tokens_d / total
+
+    T=1 keeps natural proportions; T -> inf approaches uniform — the knob
+    that stops a giant crawl domain from drowning low-resource domains
+    without hand-writing per-domain targets (`mixture_plan`'s dict input).
+
+    With ``token_budget`` set, appends the same plan columns `mixture_plan`
+    derives (target_tokens = round(share * budget), rate, epochs) so the
+    output feeds `apply_mixture` directly.
+
+    Plan shape: ONE partial (map-side combined) token sum per domain; the
+    total and the p^(1/T) normalizer are 1-row aggregates cross-joined back
+    broadcast — a handful of domain rows do arithmetic, the corpus is
+    touched once. Zero-token domains carry share 0 (p = 0), so rates stay
+    NULL-free end to end (same guard contract as `mixture_plan`).
+
+    ``share`` is rounded to 6 dp for engine-portable hashing; target/rate
+    derive from the unrounded value (integer rounding absorbs last-ulp pow
+    differences across engines). T=2 routes through ``sqrt`` — correctly
+    rounded per IEEE 754 on every engine, unlike ``pow`` (1-ulp licensed) —
+    so the T=2 gate variant is bit-exact cross-engine, the same
+    portable-variant convention as simhash31/poly31.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    totals = docs.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("domain_tokens")
+    )
+    tot = totals.agg(F.sum("domain_tokens").alias("__tot"))
+    ratio = F.col("domain_tokens") / F.col("__tot")
+    powed = (
+        F.sqrt(ratio) if temperature == 2.0 else F.pow(ratio, 1.0 / temperature)
+    )
+    p = totals.crossJoin(F.broadcast(tot)).withColumn(
+        "__pt",
+        F.when(F.col("__tot") > 0, powed).otherwise(F.lit(0.0)),
+    )
+    z = p.agg(F.sum("__pt").alias("__z"))
+    out = (
+        p.crossJoin(F.broadcast(z))
+        .withColumn(
+            "__share",
+            F.when(F.col("__z") > 0, F.col("__pt") / F.col("__z")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select(
+            domain_col,
+            "domain_tokens",
+            F.round("__share", 6).alias("share"),
+            F.col("__share"),
+        )
+    )
+    if token_budget is None:
+        return out.drop("__share")
+    tgt = F.round(F.col("__share") * token_budget).cast("long")
+    rate = F.when(
+        F.col("domain_tokens") > 0, tgt / F.col("domain_tokens")
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("target_tokens", tgt)
+        .withColumn("rate", F.round(rate, 6))
+        .withColumn("epochs", F.ceil(rate).cast("long"))
+        .drop("__share")
+    )
