@@ -2144,10 +2144,22 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r5: also carries the RDF 1.1 N-Triples serialization of every row
     (kg.to_ntriples) — aliased ref predicates emit IRI objects, everything
     else (incl. unaliased P_ent2 and the planted ''/'n/a' defects) emits
-    escaped literals; the oracle rebuilds the line with SQL string ops."""
+    escaped literals; the oracle rebuilds the line with SQL string ops.
+
+    r5 leg 2: per-triple functional-property flags
+    (kg.functional_violations, related_to + quantity declared functional).
+    Fusion leaves one object per (subj, pred), so conflicts are PLANTED:
+    subjects with eid % 7 == 0 get a second P_ent0 assertion whose object
+    is the +1-shifted Q-remap (never equal to the first — the shift is
+    mod-150 with distinct residues), so those groups carry n_objects = 2
+    and v_functional = 1 on both rows; n_objects = -1 on non-functional
+    predicates proves the exemption. The oracle replants the same rows and
+    re-counts distinct objects per group with an independent
+    GROUP BY + join."""
     from trustfuse_spark.datagen import gen_docs
     from trustfuse_spark.operators.kg import (
         canonicalize_predicates,
+        functional_violations,
         to_ntriples,
         validate_triples,
     )
@@ -2167,6 +2179,11 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("pred") == "P_str") & (eid % 29 == 0), F.lit(""))
         .otherwise(F.col("obj")),
     )
+    # planted functional conflicts: a second, +1-shifted assertion
+    conflict = triples.filter((F.col("pred") == "P_ent0") & (eid % 7 == 0)).withColumn(
+        "obj", F.concat(F.lit("Q"), (1000 + (vidx + 1) % 150).cast("string"))
+    )
+    planted = planted.unionByName(conflict)
     aliases = spark.createDataFrame(
         [("P_ent0", "related_to"), ("P_ent1", "part_of"), ("P_qty", "quantity")],
         "alias string, canonical string",
@@ -2175,9 +2192,11 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = validate_triples(
         canon, numeric_preds=["quantity"], ref_preds=["related_to", "part_of"]
     )
+    out = functional_violations(out, ["related_to", "quantity"])
     res = out.select(
         "subj", "pred", "pred_canon", "obj", "bucket_id",
         "v_null", "v_numeric", "v_dangling", "n_violations",
+        "n_objects", "v_functional",
     )
     return to_ntriples(
         res, ref_preds=["related_to", "part_of"], keep_cols=res.columns
@@ -3967,7 +3986,15 @@ def oracle_sql() -> dict[str, str]:
                                AND (CAST(SUBSTR(subj, 2) AS INT) - 1000) % 29 = 0
                           THEN ''
                           ELSE obj END AS obj
-              FROM t),
+              FROM t
+              UNION ALL
+              SELECT subj, pred, bucket_id,
+                     'Q' || CAST(1000 +
+                          (CAST(SUBSTR(obj, 2) AS INT) - 50000 + 1) % 150
+                          AS VARCHAR) AS obj
+              FROM t
+              WHERE pred = 'P_ent0'
+                AND (CAST(SUBSTR(subj, 2) AS INT) - 1000) % 7 = 0),
             c AS (
               SELECT *, CASE pred WHEN 'P_ent0' THEN 'related_to'
                                   WHEN 'P_ent1' THEN 'part_of'
@@ -3985,11 +4012,24 @@ def oracle_sql() -> dict[str, str]:
                           AND c.obj IS NOT NULL AND s.sref IS NULL
                           AS INT) AS v_dangling
               FROM c LEFT JOIN subs s ON s.sref = c.obj),
-            q AS (
+            q0 AS (
               SELECT subj, pred, pred_canon, obj, bucket_id,
                      v_null, v_numeric, v_dangling,
                      v_null + v_numeric + v_dangling AS n_violations
-              FROM v)
+              FROM v),
+            fg AS (
+              SELECT subj, pred_canon,
+                     CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects
+              FROM q0 WHERE pred_canon IN ('related_to', 'quantity')
+              GROUP BY subj, pred_canon),
+            q AS (
+              SELECT q0.*,
+                     COALESCE(fg.n_objects, CAST(-1 AS BIGINT)) AS n_objects,
+                     CAST(q0.pred_canon IN ('related_to', 'quantity')
+                          AND COALESCE(fg.n_objects, 0) > 1 AS INT)
+                       AS v_functional
+              FROM q0 LEFT JOIN fg ON fg.subj = q0.subj
+                                  AND fg.pred_canon = q0.pred_canon)
             SELECT q.*,
                    '<http://example.org/' || subj || '> <http://example.org/'
                    || pred_canon || '> '

@@ -248,6 +248,34 @@ def test_validate_triples_flags(spark, triples):
     assert out.count() == 7
 
 
+def test_functional_violations(spark, triples):
+    """related_to declared functional: Q9's two distinct objects flag both
+    rows; single-object groups pass; duplicate (not distinct) objects do
+    NOT flag; non-functional predicates carry the -1 sentinel."""
+    from trustfuse_spark.operators.kg import functional_violations
+
+    extra = spark.createDataFrame(
+        [("Q1", "P_ent0", "Q3", 0),     # Q1 now has objs {Q2, Q3} -> violation
+         ("Q2", "P_ent0", "Q999", 1)],  # duplicate object: still 1 distinct
+        "subj string, pred string, obj string, bucket_id int",
+    )
+    aliases = spark.createDataFrame(
+        [("P_ent0", "related_to"), ("P_qty", "quantity")],
+        "alias string, canonical string",
+    )
+    canon = canonicalize_predicates(triples.unionByName(extra), aliases)
+    out = functional_violations(canon, ["related_to"])
+    got = {
+        (r["subj"], r["pred"], str(r["obj"])): (r["n_objects"], r["v_functional"])
+        for r in out.collect()
+    }
+    assert got[("Q1", "P_ent0", "Q2")] == (2, 1)
+    assert got[("Q1", "P_ent0", "Q3")] == (2, 1)
+    assert got[("Q2", "P_ent0", "Q999")] == (1, 0)   # 2 rows, 1 distinct obj
+    assert got[("Q1", "P_qty", "1,234.000000")] == (-1, 0)  # non-functional
+    assert got[("Q3", "P_str", "hello")] == (-1, 0)
+
+
 def _bpe_py(word_counts, n_merges):
     """Reference greedy BPE (Sennrich et al. 2016, alg. 1): sequential
     left-to-right merge fold per word, ties by (count desc, pair asc)."""

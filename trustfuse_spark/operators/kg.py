@@ -146,3 +146,44 @@ def to_ntriples(
     if keep_cols:
         return triples.select(*keep_cols, line.alias("ntriple"))
     return triples.select(line.alias("ntriple"))
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional_preds: list[str],
+    pred_col: str = "pred_canon",
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Functional-property cardinality check (OWL FunctionalProperty /
+    SHACL ``sh:maxCount 1``): a predicate declared functional may carry at
+    most ONE distinct object per subject — more than one means conflicting
+    assertions survived fusion (e.g. two different quantities for the same
+    entity across buckets) and the triple needs re-resolution, the KG-side
+    twin of the reference's one-truth-per-fact contract.
+
+    Adds per-triple columns: ``n_objects`` — the distinct-object count of
+    the triple's (subject, predicate) group for functional predicates, -1
+    for non-functional predicates (a sentinel, not NULL, so gate hashes
+    stay canonical) — and ``v_functional`` — 1 when the group carries > 1
+    distinct object.
+
+    Plan shape: ONE map-side-combined distinct-count agg over the
+    functional slice keyed (subject, predicate), joined back on the SAME
+    key — the shuffle is co-partitioned with the agg's, and only functional
+    triples enter it. No windows, no per-row Python; AQE handles
+    celebrity-subject skew on the join.
+    """
+    is_func = F.col(pred_col).isin(functional_preds)
+    g = (
+        triples.filter(is_func)
+        .groupBy(subj_col, pred_col)
+        .agg(F.countDistinct(obj_col).cast("long").alias("n_objects"))
+    )
+    return (
+        triples.join(g, [subj_col, pred_col], "left")
+        .withColumn("n_objects", F.coalesce("n_objects", F.lit(-1).cast("long")))
+        .withColumn(
+            "v_functional", (is_func & (F.col("n_objects") > 1)).cast("int")
+        )
+    )
