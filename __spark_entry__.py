@@ -1900,8 +1900,14 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor, node = 'a|b', rank = the Adamic-Adar score, label = the
     common-neighbor count; the oracle re-enumerates wedges from the raw
     adjacency and re-applies the existing-edge anti-join, so both the
-    proposed-pair set and every score reach the hash."""
+    proposed-pair set and every score reach the hash.
+    'hub'/'auth' — HITS (graph.hits, 2 L1-normalized mutual-recursion
+    rounds) on the directed edges; the oracle unrolls both rounds as
+    join+agg+normalizer CTEs, so every hub and authority score reaches the
+    hash (sinks hub 0, sources auth 0 — real on this universe: the 12
+    pagerank-dangling nodes are exactly the hub-0 rows)."""
     from trustfuse_spark.operators.graph import (
+        hits,
         k_core,
         label_propagation,
         link_prediction,
@@ -1960,9 +1966,22 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adamic_adar").alias("rank"),
         F.col("common_neighbors").cast("string").alias("label"),
     )
+    hi = hits(edges, iterations=2)
+    hub = hi.select(
+        F.lit("hub").alias("gate"),
+        "node",
+        F.round("hub", 6).alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    auth = hi.select(
+        F.lit("auth").alias("gate"),
+        "node",
+        F.round("auth", 6).alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
     return (
         pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
-        .unionByName(kc).unionByName(aa)
+        .unionByName(kc).unionByName(aa).unionByName(hub).unionByName(auth)
     )
 
 
@@ -4379,7 +4398,37 @@ def oracle_sql() -> dict[str, str]:
                     FROM aawedge GROUP BY a, b),
             aap AS (SELECT g.a, g.b, g.cn, g.aa FROM aag g
                     LEFT JOIN und u ON u.a = g.a AND u.b = g.b
-                    WHERE u.a IS NULL)
+                    WHERE u.a IS NULL),
+            -- hits legs: 2 L1-normalized mutual-recursion rounds unrolled
+            -- (hub0 = 1 per node, so the first auth contribution sum is a
+            -- per-dst COUNT)
+            ha1 AS (SELECT dst AS node, CAST(COUNT(*) AS DOUBLE) AS s
+                    FROM edges GROUP BY dst),
+            hauth1 AS (SELECT n.node,
+                              COALESCE(a.s, 0.0) / (SELECT SUM(s) FROM ha1)
+                                AS auth
+                       FROM nodes n LEFT JOIN ha1 a ON n.node = a.node),
+            hh1 AS (SELECT e.src AS node, SUM(a.auth) AS s
+                    FROM edges e JOIN hauth1 a ON e.dst = a.node
+                    GROUP BY e.src),
+            hhub1 AS (SELECT n.node,
+                             COALESCE(h.s, 0.0) / (SELECT SUM(s) FROM hh1)
+                               AS hub
+                      FROM nodes n LEFT JOIN hh1 h ON n.node = h.node),
+            ha2 AS (SELECT e.dst AS node, SUM(h.hub) AS s
+                    FROM edges e JOIN hhub1 h ON e.src = h.node
+                    GROUP BY e.dst),
+            hauth2 AS (SELECT n.node,
+                              COALESCE(a.s, 0.0) / (SELECT SUM(s) FROM ha2)
+                                AS auth
+                       FROM nodes n LEFT JOIN ha2 a ON n.node = a.node),
+            hh2 AS (SELECT e.src AS node, SUM(a.auth) AS s
+                    FROM edges e JOIN hauth2 a ON e.dst = a.node
+                    GROUP BY e.src),
+            hhub2 AS (SELECT n.node,
+                             COALESCE(h.s, 0.0) / (SELECT SUM(s) FROM hh2)
+                               AS hub
+                      FROM nodes n LEFT JOIN hh2 h ON n.node = h.node)
             SELECT 'pr' AS gate, node, ROUND(rank, 6) AS rank,
                    CAST(NULL AS VARCHAR) AS label
             FROM r3
@@ -4400,6 +4449,12 @@ def oracle_sql() -> dict[str, str]:
             FROM kcore
             UNION ALL
             SELECT 'aa', a || '|' || b, aa, CAST(cn AS VARCHAR) FROM aap
+            UNION ALL
+            SELECT 'hub', node, ROUND(hub, 6), CAST(NULL AS VARCHAR)
+            FROM hhub2
+            UNION ALL
+            SELECT 'auth', node, ROUND(auth, 6), CAST(NULL AS VARCHAR)
+            FROM hauth2
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count

@@ -292,3 +292,37 @@ def test_c4_min_words_line_knob(spark):
     loose = c4_rules(docs, min_words_line=3).first()
     assert strict["n_kept_lines"] == 1
     assert loose["n_kept_lines"] == 2
+
+
+def test_hits_matches_python_replay(spark):
+    """HITS == the sequential L1-normalized replay on a small directed
+    graph; sinks carry hub 0, pure sources auth 0; both vectors sum to 1."""
+    from trustfuse_spark.operators.graph import hits
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("c", "e"),  # d: no in-edges; e: no out-edges
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iterations=6).collect()}
+
+    nodes = sorted({n for p in edges for n in p})
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(6):
+        auth = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            auth[t] += hub[s]
+        z = sum(auth.values())
+        auth = {n: v / z for n, v in auth.items()}
+        hub = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            hub[s] += auth[t]
+        z = sum(hub.values())
+        hub = {n: v / z for n, v in hub.items()}
+    for n in nodes:
+        assert got[n][0] == pytest.approx(hub[n], rel=1e-9, abs=1e-12), n
+        assert got[n][1] == pytest.approx(auth[n], rel=1e-9, abs=1e-12), n
+    assert got["e"][0] == 0.0          # sink: never a hub
+    assert got["d"][1] == 0.0          # source: never an authority
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0, rel=1e-9)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0, rel=1e-9)

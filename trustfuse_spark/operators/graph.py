@@ -417,3 +417,74 @@ def link_prediction(
         "common_neighbors",
         "adamic_adar",
     )
+
+
+def hits(
+    edges: DataFrame, iterations: int = 5, checkpoint_every: int = 4
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed KG edge
+    list — the complement to `pagerank` for KG quality triage: a good
+    AUTHORITY is an entity many well-connected subjects assert facts about;
+    a good HUB is a subject whose assertions point at strong authorities
+    (e.g. a well-sourced document node). Mutual recursion:
+
+        auth(v) = sum over u->v of hub(u),   then L1-normalize
+        hub(u)  = sum over u->v of auth(v),  then L1-normalize
+
+    L1 (sum) normalization is used instead of Kleinberg's L2 so the
+    normalizer is a plain SUM — exactly replayable in any SQL engine (no
+    sqrt of a float sum feeding a division chain); the ranking and the
+    fixpoint direction are invariant to the norm choice.
+
+    Per iteration: TWO key-partitioned join+agg pairs (contributions keyed
+    by dst then by src — the same shape as one pagerank step each) and two
+    1-row normalizer aggregates riding as broadcast cross joins. The score
+    vector is localCheckpoint-rotated every ``checkpoint_every`` iterations
+    (the fusion-loop convention) so lineage stays bounded.
+
+    Returns (node, hub, auth) for EVERY node in the edge universe — sinks
+    carry hub 0, sources auth 0.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        a = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        za = a.agg(F.sum("s").alias("z"))
+        auth = (
+            nodes.join(a, "node", "left")
+            .crossJoin(F.broadcast(za))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("z")).alias("auth"),
+            )
+        )
+        h = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        zh = h.agg(F.sum("s").alias("z"))
+        hub = (
+            nodes.join(h, "node", "left")
+            .crossJoin(F.broadcast(zh))
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("z")).alias("hub"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    assert auth is not None, "iterations must be >= 1"
+    return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "auth")
