@@ -2137,6 +2137,48 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
+    # Count-Min sketch legs (sketch.count_min_sketch / cms_estimate):
+    # gate='cms' hashes every non-empty cell of the 3x64 sketch; gate='cmse'
+    # estimates every distinct token of the doc_id%97==0 docs and rides the
+    # EXACT count next to it (m2) so the overcount bound is auditable. The
+    # portable poly31 hash (gate scale) lets the oracle rebuild the whole
+    # sketch from the shared counts CTE; other scales run xxhash64 (the
+    # dsir-leg convention).
+    from trustfuse_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    sk = count_min_sketch(d, width=64, depth=3, portable_hash=portable)
+    s1 = sk.select(
+        F.lit("cms").alias("gate"),
+        F.concat_ws("|", F.col("row").cast("string"), F.col("col").cast("string"))
+        .alias("key"),
+        F.col("cnt").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    qtok = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    exact = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .join(qtok, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    s2 = (
+        cms_estimate(sk, qtok, width=64, depth=3, portable_hash=portable)
+        .join(exact, "token")
+        .select(
+            F.lit("cmse").alias("gate"),
+            F.col("token").alias("key"),
+            F.col("estimate").cast("double").alias("m1"),
+            F.col("exact").cast("double").alias("m2"),
+            F.lit(None).cast("double").alias("m3"),
+            F.lit(None).cast("double").alias("m4"),
+        )
+    )
     return (
         a.unionByName(b)
         .unionByName(p)
@@ -2145,6 +2187,8 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e2)
         .unionByName(e3)
         .unionByName(r)
+        .unionByName(s1)
+        .unionByName(s2)
     )
 
 
@@ -3927,7 +3971,41 @@ def oracle_sql() -> dict[str, str]:
             brk AS (
               SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
-              FROM bsc)
+              FROM bsc),
+            -- Count-Min sketch legs: rebuild the 3x64 sketch from the
+            -- distinct-token counts (poly31 fold, seed 0; row r's bucket =
+            -- ((h+r+1)*2654435761 % (2^31-1)) % 64 — Knuth mix, so the
+            -- power-of-two width spreads), then estimate the %97 query
+            -- tokens as the min over rows of their addressed cells.
+            cmsh AS (
+              SELECT token, cnt,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(token)),
+                         i -> CAST(unicode(substring(token, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h
+              FROM counts),
+            cmsr AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS r),
+            cmscell AS (
+              SELECT cmsr.r AS row_i,
+                     ((h + cmsr.r + 1) * 2654435761 % 2147483647) % 64
+                       AS col,
+                     SUM(cnt) AS cellcnt
+              FROM cmsh CROSS JOIN cmsr
+              GROUP BY 1, 2),
+            cmsq AS (
+              SELECT DISTINCT unnest(t) AS token FROM toks
+              WHERE doc_id % 97 = 0),
+            cmse AS (
+              SELECT q.token, MIN(c.cellcnt) AS est, MIN(h.cnt) AS exact
+              FROM cmsq q
+              JOIN cmsh h USING (token)
+              CROSS JOIN cmsr
+              JOIN cmscell c
+                ON c.row_i = cmsr.r
+               AND c.col = ((h.h + cmsr.r + 1) * 2654435761
+                            % 2147483647) % 64
+              GROUP BY q.token)
             SELECT *, CAST(NULL AS DOUBLE) AS m4 FROM vrows
             UNION ALL
             SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
@@ -3985,6 +4063,18 @@ def oracle_sql() -> dict[str, str]:
                    score AS m1, CAST(rk AS DOUBLE) AS m2,
                    CAST(nt AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
             FROM brk WHERE rk <= 10
+            UNION ALL
+            SELECT 'cms' AS gate,
+                   CAST(row_i AS VARCHAR) || '|' || CAST(col AS VARCHAR)
+                     AS key,
+                   CAST(cellcnt AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM cmscell
+            UNION ALL
+            SELECT 'cmse' AS gate, token AS key,
+                   CAST(est AS DOUBLE) AS m1, CAST(exact AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM cmse
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,

@@ -495,3 +495,89 @@ def test_bm25_topk_matches_reference(spark):
         assert [x[3] for x in got[qid]] == [x[3] for x in exp[qid]]
         for g, e in zip(got[qid], exp[qid]):
             assert abs(g[1] - e[1]) < 1e-9
+
+
+# ------------------------------------------------------------ count-min
+
+
+def _cms_py(token_counts, width, depth):
+    M = (1 << 31) - 1
+
+    def poly31(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % M
+        return h
+
+    cells = {}
+    for t, c in token_counts.items():
+        h = poly31(t)
+        for r in range(depth):
+            col = ((h + r + 1) * 2654435761 % M) % width
+            cells[(r, col)] = cells.get((r, col), 0) + c
+    return cells
+
+
+def test_count_min_sketch_matches_python_replay(spark):
+    """Portable-path sketch cells == the Python replay; estimates obey
+    est >= exact for every token and equal exact when the addressed cells
+    are collision-free."""
+    from trustfuse_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana cherry cherry date"),
+         (3, "apple elderberry fig date date")],
+        "doc_id long, text string",
+    )
+    counts = {"apple": 3, "banana": 2, "cherry": 3, "date": 3,
+              "elderberry": 1, "fig": 1}
+    W, D = 16, 3
+    sk = count_min_sketch(docs, width=W, depth=D, portable_hash=True)
+    got = {(r["row"], r["col"]): r["cnt"] for r in sk.collect()}
+    assert got == _cms_py(counts, W, D)
+
+    q = spark.createDataFrame([(t,) for t in counts], "token string")
+    est = {
+        r["token"]: r["estimate"]
+        for r in cms_estimate(sk, q, width=W, depth=D, portable_hash=True).collect()
+    }
+    cells = _cms_py(counts, W, D)
+    M = (1 << 31) - 1
+    for t, c in counts.items():
+        assert est[t] >= c, t
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % M
+        want = min(
+            cells[(r, ((h + r + 1) * 2654435761 % M) % W)] for r in range(D)
+        )
+        assert est[t] == want, t
+
+
+def test_count_min_sketch_mergeable_and_xxhash(spark):
+    """Cell-wise sum of two shard sketches == the sketch of the union
+    (the mergeability contract); the xxhash64 corpus path is deterministic
+    across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from trustfuse_spark.operators.sketch import count_min_sketch
+
+    a = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y z w")], "doc_id long, text string")
+    both = a.unionByName(b)
+    W, D = 32, 4
+    merged = (
+        count_min_sketch(a, width=W, depth=D)
+        .unionByName(count_min_sketch(b, width=W, depth=D))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, count_min_sketch(both, width=W, depth=D).collect())
+    )
+    r1 = sorted(map(tuple, count_min_sketch(both, width=W, depth=D).collect()))
+    r2 = sorted(
+        map(tuple, count_min_sketch(both.repartition(5), width=W, depth=D).collect())
+    )
+    assert r1 == r2
