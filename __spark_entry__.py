@@ -1731,10 +1731,29 @@ def textstats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN pair tag-unioned (consolidated r5): brute-force cosine top-5
     (gate='brute') and the IVF-probed top-5 (gate='ivf') — both oracled by
-    the exhaustive SQL scan (IVF with full probes is exact by design)."""
+    the exhaustive SQL scan (IVF with full probes is exact by design).
+
+    Round-5 leg, gate='pca': the distributed moments of
+    embeddings.embedding_moments — count (qid=cid=-1), per-coordinate mean
+    (cid=-1), and the FULL 64x64 population covariance, every cell hashed
+    at 6 dp; the oracle re-derives E[x], E[x x^T] and the covariance from
+    an unnested double-cast self-join, so a wrong partial sum, a
+    float32-product shortcut, or a divide-by-(N-1) slip breaks the hash.
+    The eigendecomposition + projection half of PCA is driver-side
+    fixed-size numpy (convergence-scalar convention) and is pytest-gated
+    against numpy's reference PCA instead."""
+    from trustfuse_spark.operators.embeddings import embedding_moments
+
     a = ann_topk(spark, sf_dir).select(F.lit("brute").alias("gate"), "qid", "cid", "sim_r", "rn")
     b = ivf_ann_topk(spark, sf_dir).select(F.lit("ivf").alias("gate"), "qid", "cid", "sim_r", "rn")
-    return a.unionByName(b)
+    m = embedding_moments(_t(spark, sf_dir, "embeddings")).select(
+        F.lit("pca").alias("gate"),
+        F.col("i").alias("qid"),
+        F.col("j").alias("cid"),
+        F.round("value", 6).alias("sim_r"),
+        F.lit(-1).cast(a.schema["rn"].dataType).alias("rn"),
+    )
+    return a.unionByName(b).unionByName(m)
 
 
 def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3726,6 +3745,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'brute' AS gate, qid, cid, sim_r, rn FROM ({_ANN_BRUTE_SQL})
             UNION ALL
             SELECT 'ivf' AS gate, qid, cid, sim_r, rn FROM ({_ANN_BRUTE_SQL})
+            UNION ALL
+            SELECT 'pca' AS gate, qid, cid, sim_r, CAST(-1 AS INT) AS rn
+            FROM (
+              WITH ex AS (
+                SELECT vec_id, u.i - 1 AS i,
+                       CAST(embedding[u.i] AS DOUBLE) AS v
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS u(i)),
+              nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+              mu AS (SELECT i, SUM(v) / (SELECT n FROM nn) AS m
+                     FROM ex GROUP BY i),
+              cv AS (
+                SELECT a.i AS qi, b.i AS cj,
+                       SUM(a.v * b.v) / (SELECT n FROM nn) AS exx
+                FROM ex a JOIN ex b USING (vec_id)
+                GROUP BY a.i, b.i)
+              SELECT CAST(-1 AS BIGINT) AS qid, CAST(-1 AS BIGINT) AS cid,
+                     ROUND((SELECT n FROM nn), 6) AS sim_r
+              UNION ALL
+              SELECT CAST(i AS BIGINT), CAST(-1 AS BIGINT), ROUND(m, 6)
+              FROM mu
+              UNION ALL
+              SELECT CAST(cv.qi AS BIGINT), CAST(cv.cj AS BIGINT),
+                     ROUND(cv.exx - mi.m * mj.m, 6)
+              FROM cv JOIN mu mi ON mi.i = cv.qi
+                      JOIN mu mj ON mj.i = cv.cj)
         """,
         # Consolidated r5 gate: the one-step CRH weight update and the full
         # 2-iteration engine run, tag-unioned.

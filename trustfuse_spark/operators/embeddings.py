@@ -1,0 +1,166 @@
+"""Distributed embedding statistics: mean/covariance moments and PCA
+projection.
+
+SemDeDup-style semantic pipelines (dedup.semantic_dedup, ann.py IVF) get
+materially better cells from decorrelated, variance-ordered coordinates;
+PCA is also the standard dimensionality-reduction step before ANN indexing
+at 10^12-vector scale. The decomposition splits cleanly into a distributed
+part and a driver part:
+
+- **Moments** (the corpus-scale work): E[x], E[x x^T] via per-partition
+  numpy partials inside ``mapInPandas`` — each Arrow batch contributes ONE
+  (d + d^2 + 1)-value partial (vector sum, flattened outer-product sum,
+  count) regardless of batch size, and the partials hash-agg (map-side
+  combined) down to d^2 + d + 1 cells. The corpus is read once; nothing
+  per-row ever shuffles.
+- **Eigendecomposition** (the driver part): the covariance is a d x d
+  matrix — fixed-size, data-independent — so ``numpy.linalg.eigh`` on the
+  collected moments is the documented convergence-scalar convention (the
+  same boundary the fusion loops and IVF centroids use), not a
+  driver-side-loop smell.
+- **Projection** (map again): each Arrow batch does one ``V @ W`` matmul
+  (the embedding-sketch pattern, dedup.py) — stateless, zero shuffles.
+
+Float contract: float32 inputs are widened to float64 BEFORE any product
+on both the engine and the oracle side; moment values are rounded to 6 dp
+only at the gate surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_MOM_SCHEMA = StructType(
+    [
+        StructField("i", LongType()),
+        StructField("j", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def embedding_moments(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Mean vector and population covariance of an ``array<float>`` column,
+    in long form: rows ``(i, -1, mean_i)``, ``(i, j, cov_ij)`` for all
+    0 <= i, j < d (cov_ij = E[x_i x_j] - mean_i * mean_j, divide-by-N), and
+    one ``(-1, -1, N)`` count row.
+
+    Each input partition emits one partial of d + d^2 + 1 cells however
+    many rows it holds; the only shuffle is the (i, j)-keyed hash agg over
+    those partials. Means broadcast back onto the summed outer products to
+    finish the covariance — no second corpus pass.
+    """
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = V.shape[1]
+            sums = V.sum(axis=0)
+            outer = V.T @ V
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(d), [-1]]),
+                    "j": np.concatenate([jj.ravel(), np.full(d, -1), [-1]]),
+                    "s": np.concatenate([outer.ravel(), sums, [float(len(pdf))]]),
+                }
+            )
+
+    sums = (
+        embs.select(vec_col)
+        .mapInPandas(_partials, _MOM_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    n = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    mean = (
+        sums.filter((F.col("j") == -1) & (F.col("i") >= 0))
+        .crossJoin(F.broadcast(n))
+        .select("i", F.lit(-1).cast("long").alias("j"), (F.col("s") / F.col("n")).alias("value"))
+    )
+    mu_i = mean.select(F.col("i"), F.col("value").alias("mu_i"))
+    mu_j = mean.select(F.col("i").alias("j"), F.col("value").alias("mu_j"))
+    cov = (
+        sums.filter(F.col("j") >= 0)
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("s") / F.col("n") - F.col("mu_i") * F.col("mu_j")).alias("value"),
+        )
+    )
+    cnt = n.select(
+        F.lit(-1).cast("long").alias("i"),
+        F.lit(-1).cast("long").alias("j"),
+        F.col("n").alias("value"),
+    )
+    return cnt.unionByName(mean).unionByName(cov)
+
+
+def pca_project(
+    embs: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    moments: DataFrame | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components
+    (eigenvectors of the `embedding_moments` covariance, eigenvalue-desc;
+    each component's sign pinned so its largest-|coordinate| entry is
+    positive — eigh's sign is otherwise arbitrary).
+
+    The d x d eigendecomposition runs on the driver (fixed-size — the
+    convergence-scalar convention); the projection ``(V - mu) @ W`` is one
+    numpy matmul per Arrow batch. Returns (id, proj array<double>).
+    """
+    mom = (moments if moments is not None else embedding_moments(embs, vec_col)).collect()
+    mean_map = {r["i"]: r["value"] for r in mom if r["j"] == -1 and r["i"] >= 0}
+    d = len(mean_map)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    mu = np.array([mean_map[i] for i in range(d)])
+    C = np.zeros((d, d))
+    for r in mom:
+        if r["i"] >= 0 and r["j"] >= 0:
+            C[r["i"], r["j"]] = r["value"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for c in range(k):
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+
+    schema = StructType(
+        [
+            StructField(id_col, embs.schema[id_col].dataType),
+            StructField("proj", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = (V - mu) @ W
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(P)})
+
+    return embs.select(id_col, vec_col).mapInPandas(_proj, schema)
