@@ -1,0 +1,195 @@
+"""HyperLogLog, Bloom-pruned decontamination, Bellman-Ford shortest paths,
+and grouped OLS — each checked against an independent pure-Python replay."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trustfuse_spark.operators.graph import shortest_paths
+from trustfuse_spark.operators.sketch import (
+    bloom_build,
+    bloom_prune,
+    hll_estimate,
+    hyperloglog,
+)
+
+M31 = (1 << 31) - 1
+
+
+def _poly31_py(s: str, seed: int = 0) -> int:
+    h = seed
+    for ch in s:
+        h = (h * 31 + ord(ch)) % M31
+    return h
+
+
+def _corpus(spark, n=300):
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j * 13) % 97}" for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestHyperLogLog:
+    def test_registers_match_python_replay(self, spark):
+        d = _corpus(spark)
+        regs = {
+            r["idx"]: r["rho"]
+            for r in hyperloglog(d, m=64, portable_hash=True).collect()
+        }
+        # replay: every distinct token, portable hash chain
+        toks = {
+            t
+            for (_, text) in d.collect()
+            for t in text.lower().split()
+            if t
+        }
+        expect = {}
+        for t in toks:
+            hm = ((_poly31_py(t) + 1) * 2654435761) % M31
+            idx, rest = hm & 63, hm >> 6
+            rho = 26 if rest == 0 else (rest & -rest).bit_length()
+            expect[idx] = max(expect.get(idx, 0), rho)
+        assert regs == expect
+
+    def test_estimate_close_to_exact_and_partition_invariant(self, spark):
+        d = _corpus(spark, n=400)
+        exact = (
+            d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+            .filter(F.col("t") != "")
+            .distinct()
+            .count()
+        )
+        est1 = hll_estimate(hyperloglog(d, m=64), 64).collect()[0]["estimate"]
+        est2 = hll_estimate(
+            hyperloglog(d.repartition(7), m=64), 64
+        ).collect()[0]["estimate"]
+        assert est1 == est2  # register max is order/partition independent
+        assert abs(est1 - exact) / exact < 0.4  # 1.04/sqrt(64) ~ 13% expected
+
+    def test_merge_is_elementwise_max(self, spark):
+        d = _corpus(spark, n=200)
+        a, b = d.filter(F.col("doc_id") < 100), d.filter(F.col("doc_id") >= 100)
+        merged = (
+            hyperloglog(a, m=32)
+            .unionByName(hyperloglog(b, m=32))
+            .groupBy("idx")
+            .agg(F.max("rho").alias("rho"))
+        )
+        whole = hyperloglog(d, m=32)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_bounded(self, spark):
+        keys = spark.createDataFrame(
+            [(f"gram {i} x",) for i in range(200)], "key string"
+        )
+        words = bloom_build(keys, "key", n_bits=4096, k=3, portable_hash=True)
+        probe = spark.createDataFrame(
+            [(f"gram {i} x",) for i in range(400)], "key string"
+        )
+        got = {
+            r["key"]: r["bloom_pass"]
+            for r in bloom_prune(
+                probe, words, "key", 4096, 3, portable_hash=True
+            ).collect()
+        }
+        members = [got[f"gram {i} x"] for i in range(200)]
+        non = [got[f"gram {i} x"] for i in range(200, 400)]
+        assert all(members)  # no false negatives, ever
+        assert sum(non) <= 20  # fp rate ~ (1-e^{-3*200/4096})^3 << 10%
+
+    def test_decontaminate_bloom_equals_exact(self, spark):
+        from trustfuse_spark.operators.curation import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        d = _corpus(spark, n=120)
+        toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        bench = d.filter(F.col("doc_id") % 9 == 0).select(
+            F.concat_ws(" ", F.slice(toks, 2, 4)).alias("gram")
+        )
+        exact = decontaminate(d, bench, n=4).select(
+            "doc_id", "n_contaminated", "contaminated"
+        )
+        viabloom = decontaminate_bloom(
+            d, bench, n=4, n_bits=1024, k=3, portable_hash=True
+        )
+        assert sorted(
+            map(tuple, viabloom.select("doc_id", "n_contaminated", "contaminated").collect())
+        ) == sorted(map(tuple, exact.collect()))
+        # the pruning intermediate passes at least every true hit
+        row = {r["doc_id"]: r for r in viabloom.collect()}
+        assert all(
+            r["n_bloom_pass"] >= r["n_contaminated"] for r in row.values()
+        )
+
+
+class TestShortestPaths:
+    def _fixture(self, spark):
+        edges = [
+            ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0),
+            ("c", "d", 1.0), ("d", "e", 1.0), ("x", "a", 1.0),
+            ("e", "b", 1.0),
+        ]
+        return spark.createDataFrame(edges, "src string, dst string, weight double")
+
+    def test_matches_python_bellman_ford(self, spark):
+        e = self._fixture(spark)
+        srcs = spark.createDataFrame([("a",), ("x",)], "node string")
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(e, srcs, rounds=4).collect()
+        }
+        dist = {"a": 0.0, "x": 0.0}
+        edges = e.collect()
+        for _ in range(4):
+            for s, t, w in [(r.src, r.dst, r.weight) for r in edges]:
+                if s in dist and dist[s] + w < dist.get(t, math.inf):
+                    dist[t] = dist[s] + w
+        assert got == dist
+
+    def test_converged_early_exit_matches_longer_run(self, spark):
+        e = self._fixture(spark)
+        srcs = spark.createDataFrame([("a",)], "node string")
+        r4 = sorted(map(tuple, shortest_paths(e, srcs, rounds=4).collect()))
+        r9 = sorted(map(tuple, shortest_paths(e, srcs, rounds=9).collect()))
+        assert r4 == r9
+
+
+class TestGroupOLS:
+    def test_matches_numpy_fit(self, spark):
+        import numpy as np
+
+        from trustfuse_spark.operators.stats import group_ols
+
+        rows = [
+            (("g%d" % (i % 3)), float(i % 17) + 0.25, 2.5 * (i % 17) + 3.0 + (i % 5) * 0.5)
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r["g"]: r for r in group_ols(df, "g", "x", "y").collect()}
+        for g in ("g0", "g1", "g2"):
+            xs = np.array([x for (gg, x, _) in rows if gg == g])
+            ys = np.array([y for (gg, _, y) in rows if gg == g])
+            slope, intercept = np.polyfit(xs, ys, 1)
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert got[g]["n"] == len(xs)
+            assert got[g]["slope"] == pytest.approx(slope, abs=1e-9)
+            assert got[g]["intercept"] == pytest.approx(intercept, abs=1e-9)
+            assert got[g]["r2"] == pytest.approx(r * r, abs=1e-9)
+
+    def test_degenerate_x_yields_null(self, spark):
+        from trustfuse_spark.operators.stats import group_ols
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("a", 1.0, 3.0)], "g string, x double, y double"
+        )
+        row = group_ols(df, "g", "x", "y").collect()[0]
+        assert row["slope"] is None and row["r2"] is None

@@ -155,6 +155,56 @@ def contamination_overlap(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 4096,
+    k: int = 3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """`decontaminate` for the regime where the benchmark gram set is too
+    big to broadcast as a hash join build side: a Bloom filter of the
+    benchmark grams (n_bits/8 bytes, vs GBs of raw grams) broadcasts
+    instead, prunes the exploded corpus grams MAP-SIDE (no false
+    negatives), and only the surviving might-match grams — a sliver of the
+    corpus — reach the exact verify join against the full benchmark set.
+    The final counts are therefore EXACT and identical to `decontaminate`
+    (Bloom false positives die in the verify join); the sketch only moves
+    where the work happens.
+
+    Returns docs + n_bloom_pass (gram occurrences passing the filter,
+    false positives included — the auditable pruning intermediate),
+    n_contaminated, contaminated.
+    """
+    from trustfuse_spark.operators.sketch import bloom_build, bloom_prune
+
+    bench = benchmark.select("gram").distinct()
+    words = bloom_build(bench, "gram", n_bits=n_bits, k=k, portable_hash=portable_hash)
+    grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    marked = bloom_prune(
+        grams, words, "gram", n_bits=n_bits, k=k, portable_hash=portable_hash
+    )
+    passed = marked.filter(F.col("bloom_pass")).drop("bloom_pass")
+    n_pass = passed.groupBy(id_col).agg(F.count("*").alias("n_bloom_pass"))
+    # exact verify: survivors only — small enough that either join strategy
+    # is cheap; the corpus-sized gram stream never shuffles
+    hits = passed.join(bench, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated")
+    )
+    out = (
+        docs.join(n_pass, id_col, "left")
+        .join(hits, id_col, "left")
+        .withColumn("n_bloom_pass", F.coalesce(F.col("n_bloom_pass"), F.lit(0)))
+        .withColumn("n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0)))
+    )
+    return out.withColumn("contaminated", F.col("n_contaminated") > 0)
+
+
 # Row-local decontamination tiers (streaming/curate.py and any append-mode
 # consumer): below _LITERAL_GRAM_CEILING the benchmark set ships as a plan
 # literal (zero Python, but arrays_overlap rebuilds a hash set from the

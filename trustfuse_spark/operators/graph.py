@@ -488,3 +488,54 @@ def hits(
             auth = auth.localCheckpoint(eager=True)
     assert auth is not None, "iterations must be >= 1"
     return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "auth")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Multi-source weighted shortest paths by ``rounds`` Bellman-Ford
+    relaxations over the directed edge list (src, dst, weight): the exact
+    min-cost distance from ANY source to each reachable node over paths of
+    <= ``rounds`` edges (with non-negative weights, rounds >= graph
+    diameter gives the true distances — the KG's "how far is this entity
+    from the trusted seed set" signal).
+
+    Scale shape per round: ONE join of the current distance table against
+    the edge list on the source endpoint (AQE broadcasts the frontier while
+    it is small) and ONE map-side-combined min agg — the dataflow min-plus
+    recurrence, no windows, no per-row Python. Distance tables are
+    localCheckpoint-rotated so lineage stays bounded, matching `k_core` /
+    `pagerank`. Early-exits when a round relaxes nothing (convergence
+    scalar, the fusion-loop convention).
+
+    ``sources`` is a (node) DataFrame. Returns (node, dist) for reached
+    nodes. Integer-valued weights keep every path sum exact in double, so
+    the result is engine-portable without rounding.
+    """
+    dist = sources.select(
+        F.col("node"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col(weight_col)).alias("dist"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # convergence scalar: count of (node, dist) pairs that changed
+        changed = (
+            new.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist
