@@ -1225,8 +1225,23 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FUZZY variant (curation.contamination_overlap) on the same rows:
     distinct-gram overlap fraction + the >= 1% flag — occurrence counts and
     distinct-hit counts diverge on repeated grams, so both paths are
-    value-bearing."""
-    from trustfuse_spark.operators.curation import contamination_overlap, decontaminate
+    value-bearing.
+
+    Round-5 columns (curation.decontaminate_bloom): the Bloom-pruned path
+    for the benchmark-too-big-to-broadcast regime — a 4096-bit k=3 filter of
+    the benchmark grams prunes the exploded corpus grams map-side, and only
+    survivors reach the exact verify join. n_bloom_pass (pruning
+    intermediate, false positives included — value-bears every bit of the
+    filter arithmetic) and bloom_n_contaminated (MUST equal n_contaminated:
+    the oracle recomputes both sides independently). Portable poly31+Knuth
+    bit positions at gate scale, xxhash64 elsewhere (dsir convention)."""
+    import os
+
+    from trustfuse_spark.operators.curation import (
+        contamination_overlap,
+        decontaminate,
+        decontaminate_bloom,
+    )
 
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
@@ -1241,7 +1256,15 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_overlap", "overlap_frac",
         F.col("fuzzy_contaminated").cast("int").alias("fuzzy_contaminated"),
     )
-    return out.join(fuzzy, "doc_id")
+    portable = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
+    blm = decontaminate_bloom(
+        d, bench, n=8, n_bits=4096, k=3, portable_hash=portable
+    ).select(
+        "doc_id",
+        "n_bloom_pass",
+        F.col("n_contaminated").alias("bloom_n_contaminated"),
+    )
+    return out.join(fuzzy, "doc_id").join(blm, "doc_id")
 
 
 def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,7 +1790,31 @@ def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 + W3 tag-unioned (consolidated r5): exact interpolated medians per
     returnflag (gate='median') and the eps-floored population stddev CRH
-    denominator per partkey (gate='stddev'); metrics ride as doubles."""
+    denominator per partkey (gate='stddev'); metrics ride as doubles.
+
+    Round-5 legs, gate='ols'/'olsn': stats.group_ols — per-returnflag OLS of
+    extendedprice on quantity from ONE sufficient-statistic hash agg. The
+    sums are exact DECIMAL(38,12) (order-independent — a double sum would
+    drift with partition order), the closed-form slope/intercept/r2/n ride
+    at 6 dp; the oracle replays the identical cast chain and expression
+    tree in DuckDB, so a float shortcut anywhere breaks the hash."""
+    from trustfuse_spark.operators.stats import group_ols
+
+    ols = group_ols(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    c = ols.select(
+        F.lit("ols").alias("gate"),
+        F.col("l_returnflag").alias("key"),
+        F.round("slope", 6).alias("m1"),
+        F.round("intercept", 6).alias("m2"),
+    )
+    d = ols.select(
+        F.lit("olsn").alias("gate"),
+        F.col("l_returnflag").alias("key"),
+        F.round("r2", 6).alias("m1"),
+        F.col("n").cast("double").alias("m2"),
+    )
     a = median_exact(spark, sf_dir).select(
         F.lit("median").alias("gate"),
         F.col("l_returnflag").alias("key"),
@@ -1780,7 +1827,7 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("denom").alias("m1"),
         F.col("n_claims").cast("double").alias("m2"),
     )
-    return a.unionByName(b)
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def group_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,6 +2032,36 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adamic_adar").alias("rank"),
         F.col("common_neighbors").cast("string").alias("label"),
     )
+    # 'sssp' — multi-source Bellman-Ford (graph.shortest_paths, 3
+    # relaxation rounds) from the id%41==0 seed nodes over deterministic
+    # integer-valued weights w = (3*src_id + 5*dst_id) % 7 + 1: every path
+    # sum is exact in double, so distances ride unrounded; the oracle
+    # unrolls the three min-plus rounds as chained CTEs.
+    from trustfuse_spark.operators.graph import shortest_paths
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nid = F.col("node").substr(F.lit(2), F.lit(8)).cast("long")
+    wedges = edges.withColumn(
+        "weight",
+        (
+            (
+                F.col("src").substr(F.lit(2), F.lit(8)).cast("long") * 3
+                + F.col("dst").substr(F.lit(2), F.lit(8)).cast("long") * 5
+            )
+            % 7
+            + 1
+        ).cast("double"),
+    )
+    sp = shortest_paths(wedges, nodes.filter(nid % 41 == 0), rounds=3).select(
+        F.lit("sssp").alias("gate"),
+        "node",
+        F.col("dist").alias("rank"),
+        F.lit(None).cast("string").alias("label"),
+    )
     hi = hits(edges, iterations=2)
     hub = hi.select(
         F.lit("hub").alias("gate"),
@@ -2001,6 +2078,7 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
         .unionByName(kc).unionByName(aa).unionByName(hub).unionByName(auth)
+        .unionByName(sp)
     )
 
 
@@ -2198,6 +2276,36 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("m4"),
         )
     )
+    # HyperLogLog legs (sketch.hyperloglog / hll_estimate): gate='hll'
+    # hashes every non-zero register of the m=64 sketch (idx, rho) — one
+    # occurrence-level map + a 64-row max agg, no vocab shuffle; gate='hlle'
+    # rides the bias-corrected estimate (exactly replayable: every 2^-rho
+    # partial sum is an exact dyadic double) next to the EXACT distinct
+    # count (m2) so the ~1.04/sqrt(64) error bound is auditable. Portable
+    # poly31+Knuth hash at gate scale, xxhash64 elsewhere (dsir convention).
+    from trustfuse_spark.operators.sketch import hll_estimate, hyperloglog
+
+    hregs = hyperloglog(d, m=64, portable_hash=portable)
+    h1 = hregs.select(
+        F.lit("hll").alias("gate"),
+        F.concat(F.lit("r"), F.col("idx").cast("string")).alias("key"),
+        F.col("rho").cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
+    n_distinct = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .agg(F.countDistinct("token").alias("nd"))
+    )
+    h2 = hll_estimate(hregs, m=64).crossJoin(n_distinct).select(
+        F.lit("hlle").alias("gate"),
+        F.lit("estimate").alias("key"),
+        F.round("estimate", 6).alias("m1"),
+        F.col("nd").cast("double").alias("m2"),
+        F.col("n_zero").cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
     return (
         a.unionByName(b)
         .unionByName(p)
@@ -2208,6 +2316,8 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(r)
         .unionByName(s1)
         .unionByName(s2)
+        .unionByName(h1)
+        .unionByName(h2)
     )
 
 
@@ -3738,6 +3848,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stddev' AS gate, CAST(l_partkey AS VARCHAR) AS key,
                    denom AS m1, CAST(n_claims AS DOUBLE) AS m2
             FROM ({_STDDEV_DENOM_SQL})
+            UNION ALL
+            SELECT gate, key, m1, m2 FROM (
+              WITH s AS (
+                SELECT l_returnflag AS key,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS nn,
+                       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6)))
+                                 AS DECIMAL(38,12)) AS DOUBLE) AS sx,
+                       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6)))
+                                 AS DECIMAL(38,12)) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                                     * CAST(l_extendedprice AS DECIMAL(20,6))
+                                     AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,6))
+                                     * CAST(l_quantity AS DECIMAL(20,6))
+                                     AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6))
+                                     * CAST(l_extendedprice AS DECIMAL(20,6))
+                                     AS DECIMAL(38,12))) AS DOUBLE) AS syy
+                FROM lineitem GROUP BY l_returnflag),
+              f AS (
+                SELECT key, n, nn,
+                       n * sxy - sx * sy AS cov_n,
+                       n * sxx - sx * sx AS var_x,
+                       n * syy - sy * sy AS var_y,
+                       sx, sy FROM s)
+              SELECT 'ols' AS gate, key,
+                     ROUND(CASE WHEN var_x != 0 THEN cov_n / var_x END, 6) AS m1,
+                     ROUND(CASE WHEN var_x != 0
+                           THEN (sy - (cov_n / var_x) * sx) / n END, 6) AS m2
+              FROM f
+              UNION ALL
+              SELECT 'olsn' AS gate, key,
+                     ROUND(CASE WHEN var_x != 0 AND var_y != 0
+                           THEN (cov_n * cov_n) / (var_x * var_y) END, 6) AS m1,
+                     CAST(nn AS DOUBLE) AS m2
+              FROM f)
         """,
         # Consolidated r5 gate: both ANN paths against the SAME exhaustive
         # scan (IVF with all probes is exact by construction).
@@ -4050,7 +4197,35 @@ def oracle_sql() -> dict[str, str]:
                 ON c.row_i = cmsr.r
                AND c.col = ((h.h + cmsr.r + 1) * 2654435761
                             % 2147483647) % 64
-              GROUP BY q.token)
+              GROUP BY q.token),
+            -- HyperLogLog legs: registers from the distinct-token hashes
+            -- (one Knuth mix over the cmsh poly31 fold, low 6 bits pick the
+            -- register, rho = trailing zeros of the rest + 1 via the
+            -- lowest-set-bit log2 — exact on powers of two), then the
+            -- bias-corrected harmonic estimate with the linear-counting
+            -- branch, the exact arithmetic Spark's hll_estimate runs.
+            hllh AS (
+              SELECT ((h + 1) * 2654435761 % 2147483647) AS hm
+              FROM cmsh),
+            hllreg AS (
+              SELECT hm & 63 AS idx,
+                     MAX(CASE WHEN (hm >> 6) = 0 THEN 26
+                         ELSE CAST(log2((hm >> 6) & (-(hm >> 6)))
+                              AS BIGINT) + 1 END) AS rho
+              FROM hllh GROUP BY 1),
+            hllagg AS (
+              SELECT CAST(64 - COUNT(*) AS DOUBLE) AS zv,
+                     SUM(power(2.0, -rho)) AS sp
+              FROM hllreg),
+            hllest AS (
+              SELECT zv,
+                     CASE WHEN 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+                               / (COALESCE(sp, 0.0) + zv) <= 160.0
+                               AND zv > 0
+                          THEN 64.0 * LN(64.0 / zv)
+                          ELSE 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+                               / (COALESCE(sp, 0.0) + zv) END AS est
+              FROM hllagg)
             SELECT *, CAST(NULL AS DOUBLE) AS m4 FROM vrows
             UNION ALL
             SELECT 'score' AS gate, CAST(d.doc_id AS VARCHAR) AS key,
@@ -4120,6 +4295,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(est AS DOUBLE) AS m1, CAST(exact AS DOUBLE) AS m2,
                    CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
             FROM cmse
+            UNION ALL
+            SELECT 'hll' AS gate, 'r' || CAST(idx AS VARCHAR) AS key,
+                   CAST(rho AS DOUBLE) AS m1, CAST(NULL AS DOUBLE) AS m2,
+                   CAST(NULL AS DOUBLE) AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM hllreg
+            UNION ALL
+            SELECT 'hlle' AS gate, 'estimate' AS key,
+                   ROUND(est, 6) AS m1,
+                   CAST((SELECT v FROM vocab) AS DOUBLE) AS m2,
+                   zv AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM hllest
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,
@@ -4590,6 +4776,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'auth', node, ROUND(auth, 6), CAST(NULL AS VARCHAR)
             FROM hauth2
+            UNION ALL
+            SELECT 'sssp', node, dist, CAST(NULL AS VARCHAR) FROM (
+              WITH wedges AS (
+                SELECT src, dst,
+                       CAST((CAST(substring(src, 2) AS BIGINT) * 3
+                             + CAST(substring(dst, 2) AS BIGINT) * 5) % 7 + 1
+                            AS DOUBLE) AS w
+                FROM edges),
+              s0 AS (
+                SELECT node, 0.0 AS dist FROM nodes
+                WHERE CAST(substring(node, 2) AS BIGINT) % 41 = 0),
+              s1 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM s0
+                  UNION ALL
+                  SELECT e.dst, s.dist + e.w FROM s0 s
+                  JOIN wedges e ON e.src = s.node) GROUP BY node),
+              s2 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM s1
+                  UNION ALL
+                  SELECT e.dst, s.dist + e.w FROM s1 s
+                  JOIN wedges e ON e.src = s.node) GROUP BY node),
+              s3 AS (
+                SELECT node, MIN(dist) AS dist FROM (
+                  SELECT node, dist FROM s2
+                  UNION ALL
+                  SELECT e.dst, s.dist + e.w FROM s2 s
+                  JOIN wedges e ON e.src = s.node) GROUP BY node)
+              SELECT node, dist FROM s3)
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count
@@ -4625,14 +4841,58 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE 0.0 END, 6) AS overlap_frac
               FROM documents d
               LEFT JOIN dtot dt USING (doc_id)
-              LEFT JOIN dhit dh USING (doc_id))
+              LEFT JOIN dhit dh USING (doc_id)),
+            -- Bloom-pruned path: the 4096-bit k=3 filter of the benchmark
+            -- grams replayed from scratch — poly31 char fold per gram
+            -- (spaces included), bit positions via the Knuth-mix bucket
+            -- chain, a corpus gram passes iff ALL THREE of its positions
+            -- are in the benchmark's set-bit set (bit-packing into words
+            -- is representation, the set of positions is the semantics).
+            bgh AS (
+              SELECT gram,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(gram)),
+                         i -> CAST(unicode(substring(gram, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h
+              FROM bench),
+            bpos AS (
+              SELECT DISTINCT
+                     ((h + u.i + 1) * 2654435761 % 2147483647) % 4096 AS pos
+              FROM bgh, UNNEST([0, 1, 2]) AS u(i)),
+            cgh AS (
+              SELECT gram,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(gram)),
+                         i -> CAST(unicode(substring(gram, i, 1)) AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h
+              FROM (SELECT DISTINCT gram FROM grams)),
+            cgp AS (
+              SELECT gram,
+                     ((h + u.i + 1) * 2654435761 % 2147483647) % 4096 AS pos
+              FROM cgh, UNNEST([0, 1, 2]) AS u(i)),
+            okg AS (
+              SELECT c.gram FROM cgp c LEFT JOIN bpos b ON b.pos = c.pos
+              GROUP BY c.gram HAVING COUNT(b.pos) = 3),
+            npass AS (
+              SELECT g.doc_id, COUNT(*) AS np
+              FROM grams g JOIN okg USING (gram) GROUP BY g.doc_id),
+            bhits AS (
+              SELECT g.doc_id, COUNT(*) AS bn
+              FROM grams g JOIN okg USING (gram) JOIN bench USING (gram)
+              GROUP BY g.doc_id)
             SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated,
                    CAST(COALESCE(h.n, 0) > 0 AS INT) AS contaminated,
                    fz.n_overlap, fz.overlap_frac,
-                   CAST(fz.overlap_frac >= 0.01 AS INT) AS fuzzy_contaminated
+                   CAST(fz.overlap_frac >= 0.01 AS INT) AS fuzzy_contaminated,
+                   CAST(COALESCE(np.np, 0) AS BIGINT) AS n_bloom_pass,
+                   CAST(COALESCE(bh.bn, 0) AS BIGINT) AS bloom_n_contaminated
             FROM documents d
             LEFT JOIN hits h USING (doc_id)
             JOIN fz USING (doc_id)
+            LEFT JOIN npass np USING (doc_id)
+            LEFT JOIN bhits bh USING (doc_id)
         """,
         # PII scan + redaction over deterministically planted spans; the
         # redacted string is compared verbatim, so regex span semantics
