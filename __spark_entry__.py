@@ -1338,8 +1338,19 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted two-level rank path; the other four langs pass through the
     broadcast anti-path with cap_rank=-1. The oracle re-ranks capped
     domains with a window over a domain-count join, so both the kept set
-    AND every rank value are hashed."""
-    from trustfuse_spark.operators.curation import domain_cap, stratified_sample
+    AND every rank value are hashed.
+
+    Round-5 leg, gate='res': A-ES weighted reservoir sampling
+    (curation.weighted_reservoir, k=40 per lang, weight=n_chars, salt=11) —
+    priority ln(u)/w from the portable draw, per-stratum top-k via the
+    same salted two-level rank. Every selected doc's rounded priority AND
+    rank reach the hash; the oracle replays the seed-18 mix chain, the
+    floored ln, and the window."""
+    from trustfuse_spark.operators.curation import (
+        domain_cap,
+        stratified_sample,
+        weighted_reservoir,
+    )
 
     d = _t(spark, sf_dir, "documents")
     rates = {"en": 0.6, "de": 0.35, "fr": 0.5, "zh": 0.2}
@@ -1361,7 +1372,17 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("double").alias("score"),
         F.col("cap_rank").alias("rnk"),
     )
-    return sample_leg.unionByName(cap_leg)
+    res = weighted_reservoir(
+        d, "lang", k=40, weight_col="n_chars", salt=11, portable_hash=True
+    )
+    res_leg = res.select(
+        F.lit("res").alias("gate"),
+        "doc_id",
+        F.col("lang").alias("k"),
+        F.round("priority", 6).alias("score"),
+        F.col("res_rank").alias("rnk"),
+    )
+    return sample_leg.unionByName(cap_leg).unionByName(res_leg)
 
 
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5046,6 +5067,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n > 100 THEN rn ELSE CAST(-1 AS BIGINT) END AS rnk
             FROM ranked
             WHERE n <= 100 OR rn <= 100
+            UNION ALL
+            -- A-ES reservoir leg: seed 7+11=18 poly31 fold, two Knuth mix
+            -- rounds, priority = ln(max(u, 1e-12)) / max(n_chars, 1e-12),
+            -- top-40 per lang (under-40 langs pass through, rank -1)
+            SELECT 'res' AS gate, doc_id, lang AS k,
+                   ROUND(pri, 6) AS score,
+                   CASE WHEN n > 40 THEN rn ELSE CAST(-1 AS BIGINT) END AS rnk
+            FROM (
+              SELECT p.doc_id, p.lang, p.pri, dc.n,
+                     CAST(row_number() OVER (
+                       PARTITION BY p.lang
+                       ORDER BY p.pri DESC, p.doc_id ASC) AS BIGINT) AS rn
+              FROM (
+                SELECT d.doc_id, d.lang,
+                       ln(greatest(
+                         ((((rh.h0 + 1) * 2654435761) % 2147483647 + 1)
+                          * 2654435761) % 2147483647 / 2147483647.0,
+                         1e-12))
+                       / greatest(CAST(d.n_chars AS DOUBLE), 1e-12) AS pri
+                FROM documents d JOIN (
+                  SELECT doc_id,
+                         list_reduce(
+                           list_prepend(CAST(18 AS BIGINT), list_transform(
+                             generate_series(1,
+                               length(CAST(doc_id AS VARCHAR))),
+                             i -> CAST(unicode(substring(
+                                    CAST(doc_id AS VARCHAR), i, 1))
+                                  AS BIGINT))),
+                           (a, c) -> (a * 31 + c) % 2147483647) AS h0
+                  FROM documents) rh USING (doc_id)) p
+              JOIN dc USING (lang))
+            WHERE n <= 40 OR rn <= 40
         """,
         # Greedy first-fit packing replayed as a sequential recursive-CTE
         # fold per source shard (docs in doc_id order, capacity 256).

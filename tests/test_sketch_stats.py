@@ -193,3 +193,56 @@ class TestGroupOLS:
         )
         row = group_ols(df, "g", "x", "y").collect()[0]
         assert row["slope"] is None and row["r2"] is None
+
+
+class TestWeightedReservoir:
+    def test_matches_python_replay_and_partition_invariant(self, spark):
+        from trustfuse_spark.operators.curation import weighted_reservoir
+
+        rows = [
+            (i, ("s%d" % (i % 2)), 10 + (i * 37) % 90) for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+        got = weighted_reservoir(
+            df, "stratum", k=10, weight_col="w", salt=3, portable_hash=True
+        )
+        got_ids = sorted((r["stratum"], r["doc_id"]) for r in got.collect())
+        got2 = weighted_reservoir(
+            df.repartition(13), "stratum", k=10, weight_col="w", salt=3,
+            portable_hash=True,
+        )
+        assert got_ids == sorted(
+            (r["stratum"], r["doc_id"]) for r in got2.collect()
+        )
+        # replay: portable_uniform = poly31(seed 7+salt) + two Knuth rounds
+        import math
+
+        def u(key):
+            h = 10
+            for ch in str(key):
+                h = (h * 31 + ord(ch)) % M31
+            for _ in range(2):
+                h = ((h + 1) * 2654435761) % M31
+            return h / M31
+
+        expect = []
+        for s in ("s0", "s1"):
+            pri = [
+                (math.log(max(u(i), 1e-12)) / max(w, 1e-12), -i)
+                for (i, ss, w) in rows
+                if ss == s
+            ]
+            pri.sort(reverse=True)
+            expect += [(s, -ni) for (_, ni) in pri[:10]]
+        assert got_ids == sorted(expect)
+
+    def test_under_k_stratum_passes_through(self, spark):
+        from trustfuse_spark.operators.curation import weighted_reservoir
+
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 1)], "doc_id long, stratum string, w long"
+        )
+        out = weighted_reservoir(
+            df, "stratum", k=10, weight_col="w", portable_hash=True
+        ).collect()
+        assert len(out) == 2 and all(r["res_rank"] == -1 for r in out)

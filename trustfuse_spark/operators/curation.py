@@ -155,6 +155,57 @@ def contamination_overlap(
     )
 
 
+def weighted_reservoir(
+    docs: DataFrame,
+    stratum_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    n_salts: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement, k per stratum
+    (Efraimidis & Spirakis 2006 A-ES): each row draws a deterministic
+    uniform u from its key and competes on priority ln(u)/w — the top-k by
+    priority is a weight-proportional sample, and because the draw is a
+    pure function of (key, salt) the selected set is identical across
+    partitionings, retries, and speculative tasks (the `stratified_sample`
+    determinism contract, now weight-aware: quality-weighted corpus
+    subsampling instead of coin-flip rates).
+
+    Plan shape: the priority is map-side expression work; the per-stratum
+    top-k delegates to `domain_cap`'s salted two-level rank, so no task
+    ever sorts a whole hot stratum and under-k strata pass through via the
+    broadcast anti-path (rank sentinel -1) without shuffling.
+
+    Returns selected rows + ``priority`` + ``res_rank``. Portable draw =
+    poly31 seed 7+salt with two Knuth mix rounds (SQL-replayable, gate/test
+    scale); corpus path = xxhash64.
+    """
+    key = F.col(key_col).cast("string")
+    if portable_hash:
+        u = portable_uniform(key, salt)
+    else:
+        u = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(1 << 53)).cast(
+            "double"
+        ) / F.lit(float(1 << 53))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    # ln over the floored u: u=0 would be NULL in Spark's log and -inf in
+    # most SQL engines — the floor pins both to the same finite value
+    pri = F.log(F.greatest(u, F.lit(1e-12))) / w
+    out = domain_cap(
+        docs.withColumn("priority", pri),
+        stratum_col,
+        cap=k,
+        order_col="priority",
+        tie_col=key_col,
+        descending=True,
+        n_salts=n_salts,
+    )
+    return out.withColumnRenamed("cap_rank", "res_rank")
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
