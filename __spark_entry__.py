@@ -2053,6 +2053,27 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adamic_adar").alias("rank"),
         F.col("common_neighbors").cast("string").alias("label"),
     )
+    # 'walk' — the DeepWalk corpus (graph.random_walks): one 3-step walk
+    # per node, next hop = poly31('start#walk#step')+Knuth-mix % out-degree
+    # over the dst-sorted adjacency, stopping at sinks; every visited
+    # (walk, step, node) row reaches the hash, so a wrong neighbor rank,
+    # degree, or hash hop breaks it. The oracle unrolls the three hops.
+    from trustfuse_spark.operators.graph import random_walks
+
+    rw = (
+        random_walks(edges, walk_len=3, walks_per_node=1, portable_hash=True)
+        .select(
+            F.concat_ws("|", "start", F.col("walk").cast("string")).alias("wid"),
+            F.col("step").cast("double").alias("rank"),
+            F.col("node").alias("label"),
+        )
+        .select(
+            F.lit("walk").alias("gate"),
+            F.col("wid").alias("node"),
+            "rank",
+            "label",
+        )
+    )
     # 'sssp' — multi-source Bellman-Ford (graph.shortest_paths, 3
     # relaxation rounds) from the id%41==0 seed nodes over deterministic
     # integer-valued weights w = (3*src_id + 5*dst_id) % 7 + 1: every path
@@ -2099,7 +2120,7 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
         .unionByName(kc).unionByName(aa).unionByName(hub).unionByName(auth)
-        .unionByName(sp)
+        .unionByName(sp).unionByName(rw)
     )
 
 
@@ -4827,6 +4848,52 @@ def oracle_sql() -> dict[str, str]:
                   SELECT e.dst, s.dist + e.w FROM s2 s
                   JOIN wedges e ON e.src = s.node) GROUP BY node)
               SELECT node, dist FROM s3)
+            UNION ALL
+            SELECT 'walk', wid, CAST(step AS DOUBLE), visited FROM (
+              WITH rwadj AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                         AS ni,
+                       COUNT(*) OVER (PARTITION BY src) AS dg
+                FROM edges),
+              rw0 AS (SELECT node AS start, node AS cur FROM nodes),
+              rw1 AS (
+                SELECT s.start, a.dst AS cur FROM rw0 s
+                JOIN rwadj a ON a.src = s.cur
+                 AND a.ni = ((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(s.start || '#0#1')),
+                         i -> CAST(unicode(substring(s.start || '#0#1', i, 1))
+                              AS BIGINT))),
+                       (x, c) -> (x * 31 + c) % 2147483647) + 1)
+                      * 2654435761 % 2147483647) % a.dg),
+              rw2 AS (
+                SELECT s.start, a.dst AS cur FROM rw1 s
+                JOIN rwadj a ON a.src = s.cur
+                 AND a.ni = ((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(s.start || '#0#2')),
+                         i -> CAST(unicode(substring(s.start || '#0#2', i, 1))
+                              AS BIGINT))),
+                       (x, c) -> (x * 31 + c) % 2147483647) + 1)
+                      * 2654435761 % 2147483647) % a.dg),
+              rw3 AS (
+                SELECT s.start, a.dst AS cur FROM rw2 s
+                JOIN rwadj a ON a.src = s.cur
+                 AND a.ni = ((list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(s.start || '#0#3')),
+                         i -> CAST(unicode(substring(s.start || '#0#3', i, 1))
+                              AS BIGINT))),
+                       (x, c) -> (x * 31 + c) % 2147483647) + 1)
+                      * 2654435761 % 2147483647) % a.dg)
+              SELECT start || '|0' AS wid, 0 AS step, cur AS visited FROM rw0
+              UNION ALL
+              SELECT start || '|0', 1, cur FROM rw1
+              UNION ALL
+              SELECT start || '|0', 2, cur FROM rw2
+              UNION ALL
+              SELECT start || '|0', 3, cur FROM rw3)
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count

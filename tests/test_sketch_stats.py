@@ -246,3 +246,48 @@ class TestWeightedReservoir:
             df, "stratum", k=10, weight_col="w", portable_hash=True
         ).collect()
         assert len(out) == 2 and all(r["res_rank"] == -1 for r in out)
+
+
+class TestRandomWalks:
+    def test_matches_python_replay(self, spark):
+        from trustfuse_spark.operators.graph import random_walks
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = sorted(
+            map(
+                tuple,
+                random_walks(
+                    e, walk_len=3, walks_per_node=2, portable_hash=True
+                ).collect(),
+            )
+        )
+        adj = {}
+        for s, t in sorted(set(edges)):
+            adj.setdefault(s, []).append(t)
+        expect = []
+        for start in sorted({n for st in edges for n in st}):
+            for w in range(2):
+                cur = start
+                expect.append((start, w, 0, cur))
+                for step in range(1, 4):
+                    if cur not in adj:
+                        break
+                    hm = ((_poly31_py(f"{start}#{w}#{step}") + 1) * 2654435761) % M31
+                    cur = adj[cur][hm % len(adj[cur])]
+                    expect.append((start, w, step, cur))
+        assert got == sorted(expect)
+
+    def test_partition_invariant(self, spark):
+        from trustfuse_spark.operators.graph import random_walks
+
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(40)]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(map(tuple, random_walks(e, 3, 1, portable_hash=True).collect()))
+        b = sorted(
+            map(
+                tuple,
+                random_walks(e.repartition(11), 3, 1, portable_hash=True).collect(),
+            )
+        )
+        assert a == b

@@ -539,3 +539,74 @@ def shortest_paths(
         if changed == 0:
             break
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: int = 0,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi et al. 2014) over the directed
+    edge list: ``walks_per_node`` walks from every node, each up to
+    ``walk_len`` steps, the training sequences a skip-gram graph embedding
+    consumes. The next-hop "draw" is deterministic — neighbor index =
+    hash(start, walk_no, step) % out-degree over the dst-sorted adjacency —
+    so the corpus is a pure function of the graph (retry/speculation-stable,
+    and the driver gate can replay every hop in SQL). Walks stop early at
+    sink nodes.
+
+    Scale shape: the adjacency is ranked ONCE (window per src — hot hubs
+    sort once each; cap degrees upstream if a hub's neighbor list exceeds a
+    task); each step is one equi-join of the frontier on
+    (current node, picked index) against the ranked adjacency — no
+    per-row Python, no driver-side traversal. Output is the long form
+    (start, walk, step, node); step 0 is the start node itself.
+
+    Portable hash = poly31('start#walk#step', seed 0) + one Knuth mix
+    (SQL-replayable, gate/test scale; ``salt`` is ignored there);
+    production path = xxhash64(key, salt).
+    """
+    from pyspark.sql import Window
+
+    from trustfuse_spark.operators.curation import _POLY_M31, _poly31
+
+    und = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = und.withColumn("nbr_idx", F.row_number().over(w) - 1)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.join(deg, "src")
+
+    starts = und.select(F.col("src").alias("node")).unionByName(
+        und.select(F.col("dst").alias("node"))
+    ).distinct()
+    state = starts.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("walk"),
+        F.col("node").alias("cur"),
+    ).withColumn("step", F.lit(0))
+    out = state.select("start", "walk", "step", F.col("cur").alias("node"))
+
+    for step in range(1, walk_len + 1):
+        key = F.concat_ws(
+            "#", "start", F.col("walk").cast("string"), F.lit(str(step))
+        )
+        if portable_hash:
+            h = _poly31(key)
+            hm = ((h + 1) * F.lit(2654435761)) % F.lit(_POLY_M31)
+        else:
+            hm = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(1 << 62))
+        picked = (
+            state.join(adj, state.cur == adj.src)
+            .filter((hm % F.col("deg")) == F.col("nbr_idx"))
+            .select("start", "walk", F.col("dst").alias("cur"))
+            .withColumn("step", F.lit(step))
+        )
+        out = out.unionByName(
+            picked.select("start", "walk", "step", F.col("cur").alias("node"))
+        )
+        state = picked
+    return out
