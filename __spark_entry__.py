@@ -1785,8 +1785,19 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32-product shortcut, or a divide-by-(N-1) slip breaks the hash.
     The eigendecomposition + projection half of PCA is driver-side
     fixed-size numpy (convergence-scalar convention) and is pytest-gated
-    against numpy's reference PCA instead."""
-    from trustfuse_spark.operators.embeddings import embedding_moments
+    against numpy's reference PCA instead.
+
+    Round-5 legs, gate='pqcode'/'pqcent': product quantization
+    (embeddings.product_quantize, 4 subspaces x 16 dims, 16 codes, one
+    Lloyd round) — every vector's per-subspace code AND the full final
+    codebook reach the hash. Training replays in SQL because every
+    distance is a SEQUENTIAL left-to-right fold (bit-identical to
+    list_reduce) and the only order-dependent sums (centroid means) are
+    pinned by 6-dp rounding before the next assignment."""
+    from trustfuse_spark.operators.embeddings import (
+        embedding_moments,
+        product_quantize,
+    )
 
     a = ann_topk(spark, sf_dir).select(F.lit("brute").alias("gate"), "qid", "cid", "sim_r", "rn")
     b = ivf_ann_topk(spark, sf_dir).select(F.lit("ivf").alias("gate"), "qid", "cid", "sim_r", "rn")
@@ -1797,7 +1808,22 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("sim_r"),
         F.lit(-1).cast(a.schema["rn"].dataType).alias("rn"),
     )
-    return a.unionByName(b).unionByName(m)
+    codes, cents = product_quantize(_t(spark, sf_dir, "embeddings"))
+    pq1 = codes.select(
+        F.lit("pqcode").alias("gate"),
+        F.col("id").alias("qid"),
+        F.col("sub").cast("long").alias("cid"),
+        F.col("code").cast("double").alias("sim_r"),
+        F.lit(-2).cast(a.schema["rn"].dataType).alias("rn"),
+    )
+    pq2 = cents.select(
+        F.lit("pqcent").alias("gate"),
+        F.col("sub").cast("long").alias("qid"),
+        (F.col("code") * 16 + F.col("dim")).cast("long").alias("cid"),
+        F.col("value").alias("sim_r"),
+        F.lit(-3).cast(a.schema["rn"].dataType).alias("rn"),
+    )
+    return a.unionByName(b).unionByName(m).unionByName(pq1).unionByName(pq2)
 
 
 def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3960,6 +3986,70 @@ def oracle_sql() -> dict[str, str]:
                      ROUND(cv.exx - mi.m * mj.m, 6)
               FROM cv JOIN mu mi ON mi.i = cv.qi
                       JOIN mu mj ON mj.i = cv.cj)
+            UNION ALL
+            -- product-quantization legs: init codebook = rounded slices of
+            -- the 16 lowest ids, one Lloyd round (sequential-fold distances,
+            -- argmin ties to the lowest code, means rounded 6 dp, empty
+            -- clusters keep init), then the final assignment
+            SELECT gate, qid, cid, sim_r, CAST(rn AS INT) AS rn FROM (
+              WITH pqs AS (
+                SELECT vec_id AS id, s.s AS sub,
+                       list_transform(generate_series(1, 16),
+                         i -> CAST(embedding[s.s * 16 + i] AS DOUBLE)) AS v
+                FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+              pqlow AS (
+                SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+                FROM (SELECT DISTINCT id FROM pqs)
+                QUALIFY row_number() OVER (ORDER BY id) <= 16),
+              pqinit AS (
+                SELECT p.sub, l.j AS code,
+                       list_transform(p.v, x -> round(x, 6)) AS c
+                FROM pqs p JOIN pqlow l USING (id)),
+              pqd1 AS (
+                SELECT p.id, p.sub, c.code,
+                       list_reduce(list_prepend(0.0,
+                         list_transform(generate_series(1, 16),
+                           i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))),
+                         (a, b) -> a + b) AS dist
+                FROM pqs p JOIN pqinit c USING (sub)),
+              pqa1 AS (
+                SELECT id, sub, code FROM pqd1
+                QUALIFY row_number() OVER (PARTITION BY id, sub
+                  ORDER BY dist ASC, code ASC) = 1),
+              pqu AS (
+                SELECT a.sub, a.code, u.i - 1 AS dim,
+                       round(avg(p.v[u.i]), 6) AS val
+                FROM pqa1 a JOIN pqs p USING (id, sub),
+                     UNNEST(generate_series(1, 16)) u(i)
+                GROUP BY a.sub, a.code, u.i),
+              pqdim AS (SELECT unnest(generate_series(0, 15)) AS dim),
+              pqc2 AS (
+                SELECT i.sub, i.code, d.dim,
+                       COALESCE(u.val, i.c[d.dim + 1]) AS value
+                FROM pqinit i CROSS JOIN pqdim d
+                LEFT JOIN pqu u
+                  ON u.sub = i.sub AND u.code = i.code AND u.dim = d.dim),
+              pqc2a AS (
+                SELECT sub, code, list(value ORDER BY dim) AS c
+                FROM pqc2 GROUP BY sub, code),
+              pqd2 AS (
+                SELECT p.id, p.sub, c.code,
+                       list_reduce(list_prepend(0.0,
+                         list_transform(generate_series(1, 16),
+                           i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))),
+                         (a, b) -> a + b) AS dist
+                FROM pqs p JOIN pqc2a c USING (sub)),
+              pqa2 AS (
+                SELECT id, sub, code FROM pqd2
+                QUALIFY row_number() OVER (PARTITION BY id, sub
+                  ORDER BY dist ASC, code ASC) = 1)
+              SELECT 'pqcode' AS gate, id AS qid, CAST(sub AS BIGINT) AS cid,
+                     CAST(code AS DOUBLE) AS sim_r, -2 AS rn
+              FROM pqa2
+              UNION ALL
+              SELECT 'pqcent', CAST(sub AS BIGINT),
+                     CAST(code * 16 + dim AS BIGINT), value, -3
+              FROM pqc2)
         """,
         # Consolidated r5 gate: the one-step CRH weight update and the full
         # 2-iteration engine run, tag-unioned.

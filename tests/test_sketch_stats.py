@@ -291,3 +291,60 @@ class TestRandomWalks:
             )
         )
         assert a == b
+
+
+class TestProductQuantize:
+    def test_matches_numpy_replay(self, spark):
+        import numpy as np
+
+        from trustfuse_spark.operators.embeddings import product_quantize
+
+        rng = [
+            (i, [float(round(math.sin(i * 13 + d) * 5, 3)) for d in range(16)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+        codes, cents = product_quantize(
+            df, n_sub=2, sub_dim=8, k=4, lloyd_rounds=1
+        )
+        got = {(r["id"], r["sub"]): r["code"] for r in codes.collect()}
+        gotc = {
+            (r["sub"], r["code"], r["dim"]): r["value"] for r in cents.collect()
+        }
+        # numpy replay with the same rounding discipline
+        vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rng}
+        cent = {
+            (s, j): np.round(vecs[j][s * 8 : (s + 1) * 8], 6)
+            for s in range(2)
+            for j in range(4)
+        }
+
+        def assign(v, s):
+            d = [np.sum((v - cent[(s, j)]) ** 2) for j in range(4)]
+            return int(np.argmin(d))
+
+        groups = {}
+        for i, v in vecs.items():
+            for s in range(2):
+                sl = v[s * 8 : (s + 1) * 8]
+                groups.setdefault((s, assign(sl, s)), []).append(sl)
+        for key, arrs in groups.items():
+            cent[key] = np.round(np.mean(arrs, axis=0), 6)
+        for i, v in vecs.items():
+            for s in range(2):
+                assert got[(i, s)] == assign(v[s * 8 : (s + 1) * 8], s), (i, s)
+        for (s, j), c in cent.items():
+            for d in range(8):
+                assert gotc[(s, j, d)] == pytest.approx(c[d], abs=2e-6)
+
+    def test_codes_partition_invariant(self, spark):
+        from trustfuse_spark.operators.embeddings import product_quantize
+
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11) for d in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        c1, _ = product_quantize(df, n_sub=2, sub_dim=4, k=4)
+        c2, _ = product_quantize(df.repartition(9), n_sub=2, sub_dim=4, k=4)
+        assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))

@@ -164,3 +164,133 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col], "proj": list(P)})
 
     return embs.select(id_col, vec_col).mapInPandas(_proj, schema)
+
+
+def product_quantize(
+    embs: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_rounds: int = 1,
+):
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``n_sub`` contiguous ``sub_dim``-dim slices, learn a ``k``-centroid
+    codebook per subspace, and encode every vector as ``n_sub`` small codes
+    — 64 float32 dims compress to 4 bytes/vector, the storage/IO step that
+    makes billion-vector ANN shardable (ADC scan consumes the codes).
+
+    Deterministic, SQL-replayable training (the IVF centroid-literal
+    convention, but here the TRAINING replays too because PQ output depends
+    on the codebook): init centroid j of each subspace = the slice of the
+    j-th LOWEST id (a bounded driver collect, k rows); each Lloyd round
+    assigns all vectors to their nearest centroid with a SEQUENTIAL
+    left-to-right fold over the squared-diff zip (bit-identical to a SQL
+    list_reduce replay — no sum-reorder noise in the argmin), then
+    recomputes centroids as per-dim means ROUNDED to 6 dp (the rounding
+    pins the only order-dependent float sum, so the next assignment is
+    again bit-deterministic); empty clusters keep their previous centroid.
+    Assignment ties break to the lowest centroid id (first position of the
+    list min).
+
+    Scale shape: per round ONE map-side assignment pass (centroids are plan
+    literals — zero joins) + ONE map-side-combined (sub, code, dim) avg agg
+    of bounded output (n_sub*k*sub_dim cells); the collect is the bounded
+    codebook, convergence-scalar convention. float32 widens to double
+    BEFORE any arithmetic (the `embedding_moments` contract).
+
+    Returns (codes, centroids): codes = (id, sub, code); centroids =
+    (sub, code, dim, value) with the final rounded codebook.
+    """
+    slices = embs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                            lambda x: x.cast("double"),
+                        ).alias("v"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sl"),
+    ).select("id", F.col("sl.sub").alias("sub"), F.col("sl.v").alias("v"))
+
+    # init: slices of the k lowest ids, centroid j = j-th lowest (bounded)
+    init_rows = (
+        slices.join(
+            F.broadcast(
+                embs.select(F.col(id_col).alias("id")).orderBy("id").limit(k)
+            ),
+            "id",
+        )
+        # round with F.round (HALF_UP — the engine/oracle convention), not
+        # Python round (half-even): the codebook must replay in SQL exactly
+        .select("id", "sub", F.transform("v", lambda x: F.round(x, 6)).alias("v"))
+        .collect()
+    )
+    low_ids = sorted({r["id"] for r in init_rows})
+    cent = {
+        (r["sub"], low_ids.index(r["id"])): list(r["v"]) for r in init_rows
+    }
+
+    def _assign(df):
+        code_cols = []
+        for s in range(n_sub):
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(c) for c in cent[(s, j)]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for j in range(k)
+                ]
+            )
+            code_cols.append(
+                F.when(
+                    F.col("sub") == s,
+                    (F.array_position(dists, F.array_min(dists)) - 1).cast("long"),
+                )
+            )
+        return df.withColumn("code", F.coalesce(*code_cols))
+
+    for _ in range(lloyd_rounds):
+        assigned = _assign(slices)
+        upd = (
+            assigned.select("sub", "code", F.posexplode("v").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+            .collect()
+        )
+        newc = {}
+        for r in upd:
+            newc.setdefault((r["sub"], r["code"]), [None] * sub_dim)[r["dim"]] = r[
+                "val"
+            ]
+        for key in cent:
+            if key in newc:
+                cent[key] = newc[key]
+
+    codes = _assign(slices).select("id", "sub", "code")
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    centroids = spark.createDataFrame(
+        [
+            (s, j, d, cent[(s, j)][d])
+            for (s, j) in sorted(cent)
+            for d in range(sub_dim)
+        ],
+        "sub int, code int, dim int, value double",
+    )
+    return codes, centroids
