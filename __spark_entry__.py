@@ -1823,7 +1823,29 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("sim_r"),
         F.lit(-3).cast(a.schema["rn"].dataType).alias("rn"),
     )
-    return a.unionByName(b).unionByName(m).unionByName(pq1).unionByName(pq2)
+    # gate='adc': the asymmetric-distance scan over those codes — the %97
+    # query vectors' top-10 by table-lookup distance (ranked on the 6-dp
+    # rounded sum, ties by id, so the 4-term float sum's ulp noise never
+    # decides a rank); the oracle recomputes tables, sums, and ranks from
+    # its own replayed codebook and assignment.
+    from trustfuse_spark.operators.embeddings import pq_adc_topk
+
+    adc = pq_adc_topk(
+        codes,
+        cents,
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 97 == 0),
+        k_top=10,
+    ).select(
+        F.lit("adc").alias("gate"),
+        F.col("qid"),
+        F.col("id").alias("cid"),
+        F.col("adist").alias("sim_r"),
+        F.col("rank").cast(a.schema["rn"].dataType).alias("rn"),
+    )
+    return (
+        a.unionByName(b).unionByName(m).unionByName(pq1)
+        .unionByName(pq2).unionByName(adc)
+    )
 
 
 def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4049,7 +4071,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'pqcent', CAST(sub AS BIGINT),
                      CAST(code * 16 + dim AS BIGINT), value, -3
-              FROM pqc2)
+              FROM pqc2
+              UNION ALL
+              SELECT 'adc', qid, id, adist, rk FROM (
+                SELECT t.qid, a.id, ROUND(SUM(t.d), 6) AS adist,
+                       CAST(row_number() OVER (
+                         PARTITION BY t.qid
+                         ORDER BY ROUND(SUM(t.d), 6) ASC, a.id ASC)
+                         AS BIGINT) AS rk
+                FROM pqa2 a
+                JOIN (
+                  SELECT q.qid, q.sub, c.code,
+                         list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(1, 16),
+                             i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))),
+                           (x, y) -> x + y) AS d
+                  FROM (
+                    SELECT vec_id AS qid, s.s AS sub,
+                           list_transform(generate_series(1, 16),
+                             i -> CAST(embedding[s.s * 16 + i] AS DOUBLE))
+                             AS qv
+                    FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS s) s
+                    WHERE vec_id % 97 = 0) q
+                  JOIN pqc2a c USING (sub)) t
+                  ON t.sub = a.sub AND t.code = a.code
+                GROUP BY t.qid, a.id)
+              WHERE rk <= 10)
         """,
         # Consolidated r5 gate: the one-step CRH weight update and the full
         # 2-iteration engine run, tag-unioned.

@@ -348,3 +348,46 @@ class TestProductQuantize:
         c1, _ = product_quantize(df, n_sub=2, sub_dim=4, k=4)
         c2, _ = product_quantize(df.repartition(9), n_sub=2, sub_dim=4, k=4)
         assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+class TestPQADC:
+    def test_adc_matches_python_replay_and_is_close(self, spark):
+        import numpy as np
+
+        from trustfuse_spark.operators.embeddings import (
+            pq_adc_topk,
+            product_quantize,
+        )
+
+        rows = [
+            (i, [float(round(math.cos(i * 11 + d) * 4, 3)) for d in range(16)])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        codes, cents = product_quantize(df, n_sub=2, sub_dim=8, k=4)
+        q = df.filter(F.col("vec_id") % 13 == 0)
+        got = {
+            (r["qid"], r["id"]): (r["adist"], r["rank"])
+            for r in pq_adc_topk(
+                codes, cents, q, k_top=5, n_sub=2, sub_dim=8
+            ).collect()
+        }
+        code_map = {(r["id"], r["sub"]): r["code"] for r in codes.collect()}
+        cent_map = {}
+        for r in cents.collect():
+            cent_map.setdefault((r["sub"], r["code"]), [0.0] * 8)[r["dim"]] = r["value"]
+        vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+        for qid in (0, 13, 26, 39):
+            dists = []
+            for i in vecs:
+                d = 0.0
+                for s in range(2):
+                    qs = vecs[qid][s * 8 : (s + 1) * 8]
+                    c = np.array(cent_map[(s, code_map[(i, s)])])
+                    d += float(np.sum((qs - c) ** 2))
+                dists.append((round(d, 6), i))
+            dists.sort()
+            for rk, (d, i) in enumerate(dists[:5], 1):
+                assert got[(qid, i)] == (pytest.approx(d, abs=1e-6), rk)
+        # the query's own top-1 is itself (its code reconstruction is nearest)
+        assert got[(0, 0)][1] == 1

@@ -294,3 +294,78 @@ def product_quantize(
         "sub int, code int, dim int, value double",
     )
     return codes, centroids
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k_top: int = 10,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation over `product_quantize` output: each
+    query precomputes its distance to every codebook centroid (a
+    |queries| x n_sub*k table), and a vector's approximate squared L2
+    distance is the SUM over subspaces of the table entry its code points
+    at — the scan that reads 4 bytes/vector instead of 256 and never
+    touches the raw embeddings (Jégou et al. 2011 §IV).
+
+    Plan shape: the distance table is a broadcast-codebook map-side join on
+    the (small) query set; the big codes table then joins the BROADCAST
+    table on (sub, code) — map-side, no shuffle of codes on anything but
+    the final (qid, id) partial-combined sum agg; top-k per query is a
+    window over qids (queries are few by contract). Ranking uses the 6-dp
+    ROUNDED distance (ties by id) so the order is engine-portable — the
+    4-term float sum's last-ulp noise never decides a rank.
+
+    Returns (qid, id, adist, rank) for the top ``k_top`` per query.
+    """
+    from pyspark.sql import Window
+
+    qslices = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.transform(
+                            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                            lambda x: x.cast("double"),
+                        ).alias("qv"),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ).alias("sl"),
+    ).select("qid", F.col("sl.sub").alias("sub"), F.col("sl.qv").alias("qv"))
+    cent_arr = centroids.groupBy("sub", "code").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "value"))
+        ).alias("dv")
+    ).select(
+        "sub", "code", F.transform("dv", lambda s: s["value"]).alias("c")
+    )
+    table = qslices.join(F.broadcast(cent_arr), "sub").select(
+        "qid",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    sums = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("id").asc())
+    return (
+        sums.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_top)
+    )
