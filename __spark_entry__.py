@@ -2122,6 +2122,19 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+    # 'neg' — KG-embedding negative sampling (kg.negative_samples): each
+    # edge's corrupted tail = the NEXT edge's tail within its poly31 hash
+    # bucket (in-batch corruption — no global entity index), with the
+    # filtered-setting collision flag from a left join on the corrupted
+    # pair. node = 'src|dst', label = neg tail, rank = is_collision.
+    from trustfuse_spark.operators.kg import negative_samples
+
+    ng = negative_samples(edges, n_buckets=16, portable_hash=True).select(
+        F.lit("neg").alias("gate"),
+        F.concat_ws("|", "src", "dst").alias("node"),
+        F.col("is_collision").cast("double").alias("rank"),
+        F.col("neg_dst").alias("label"),
+    )
     # 'sssp' — multi-source Bellman-Ford (graph.shortest_paths, 3
     # relaxation rounds) from the id%41==0 seed nodes over deterministic
     # integer-valued weights w = (3*src_id + 5*dst_id) % 7 + 1: every path
@@ -2168,7 +2181,7 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pr.unionByName(tri).unionByName(lcc).unionByName(lpa)
         .unionByName(kc).unionByName(aa).unionByName(hub).unionByName(auth)
-        .unionByName(sp).unionByName(rw)
+        .unionByName(sp).unionByName(rw).unionByName(ng)
     )
 
 
@@ -5031,6 +5044,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT start || '|0', 2, cur FROM rw2
               UNION ALL
               SELECT start || '|0', 3, cur FROM rw3)
+            UNION ALL
+            SELECT 'neg', src || '|' || dst, CAST(is_col AS DOUBLE), neg_dst
+            FROM (
+              WITH nb AS (
+                SELECT src, dst,
+                       ((list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), list_transform(
+                             generate_series(1, length(src || '|' || dst)),
+                             i -> CAST(unicode(substring(src || '|' || dst,
+                                                         i, 1)) AS BIGINT))),
+                           (x, c) -> (x * 31 + c) % 2147483647) + 1)
+                        * 2654435761 % 2147483647) % 16 AS bucket
+                FROM edges),
+              nn2 AS (
+                SELECT src, dst, bucket,
+                       COALESCE(
+                         lead(dst) OVER (PARTITION BY bucket
+                                         ORDER BY src, dst),
+                         first_value(dst) OVER (
+                           PARTITION BY bucket ORDER BY src, dst
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING)) AS neg_dst
+                FROM nb)
+              SELECT n.src, n.dst, n.neg_dst,
+                     CASE WHEN e.src IS NULL THEN 0 ELSE 1 END AS is_col
+              FROM nn2 n LEFT JOIN edges e
+                ON e.src = n.src AND e.dst = n.neg_dst)
         """,
         # Benchmark decontamination: re-derive the benchmark 8-gram set
         # (docs with doc_id % 37 == 0, gram at token offset 3) and count

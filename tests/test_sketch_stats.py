@@ -391,3 +391,43 @@ class TestPQADC:
                 assert got[(qid, i)] == (pytest.approx(d, abs=1e-6), rk)
         # the query's own top-1 is itself (its code reconstruction is nearest)
         assert got[(0, 0)][1] == 1
+
+
+class TestNegativeSamples:
+    def test_matches_python_replay(self, spark):
+        from trustfuse_spark.operators.kg import negative_samples
+
+        edges = [(f"e{i}", f"e{(i * 5 + 2) % 23}") for i in range(40)]
+        e = spark.createDataFrame(sorted(set(edges)), "src string, dst string")
+        got = sorted(
+            map(tuple, negative_samples(e, n_buckets=4, portable_hash=True).collect())
+        )
+        uniq = sorted(set(edges))
+        buckets = {}
+        for s, t in uniq:
+            hm = ((_poly31_py(f"{s}|{t}") + 1) * 2654435761) % M31
+            buckets.setdefault(hm % 4, []).append((s, t))
+        eset = set(uniq)
+        expect = []
+        for b, es in buckets.items():
+            es.sort()
+            for i, (s, t) in enumerate(es):
+                neg = es[(i + 1) % len(es)][1]
+                expect.append((s, t, b, neg, int((s, neg) in eset)))
+        assert got == sorted(expect)
+
+    def test_partition_invariant_and_nondegenerate(self, spark):
+        from trustfuse_spark.operators.kg import negative_samples
+
+        edges = [(f"a{i}", f"b{(i * 3) % 41}") for i in range(60)]
+        e = spark.createDataFrame(sorted(set(edges)), "src string, dst string")
+        r1 = sorted(map(tuple, negative_samples(e, 4, portable_hash=True).collect()))
+        r2 = sorted(
+            map(
+                tuple,
+                negative_samples(e.repartition(9), 4, portable_hash=True).collect(),
+            )
+        )
+        assert r1 == r2
+        # most corruptions are genuine negatives on this sparse graph
+        assert sum(1 for r in r1 if r[4] == 0) > len(r1) // 2

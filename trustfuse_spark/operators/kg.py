@@ -187,3 +187,66 @@ def functional_violations(
             "v_functional", (is_func & (F.col("n_objects") > 1)).cast("int")
         )
     )
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_buckets: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """In-bucket negative sampling for KG-embedding training (the corrupted
+    triples a TransE/DistMult-style trainer consumes, Bordes et al. 2013):
+    each edge gets a corrupted tail drawn from ANOTHER edge's tail — the
+    standard in-batch trick that avoids materializing a dense global entity
+    index (whose row_number would be a single-partition sort at 10^12-edge
+    scale). Edges hash into ``n_buckets`` groups; within a bucket, ordered
+    by (src, dst), each edge takes the NEXT edge's tail, the last wrapping
+    to the first — deterministic, partition-invariant, and every window
+    runs over a bucket of ~|E|/n_buckets rows (size n_buckets to taste; no
+    task ever sorts the whole edge list).
+
+    ``is_collision`` marks the filtered setting: 1 when the corrupted edge
+    (src, neg_dst) exists in the graph (incl. the degenerate single-edge
+    bucket where neg == own tail) — trainers drop or downweight those.
+    Flagging is one left join against the edge set keyed on the corrupted
+    pair.
+
+    Portable hash = poly31(src|dst) + one Knuth mix (SQL-replayable);
+    production path = xxhash64.
+    """
+    from pyspark.sql import Window
+
+    from trustfuse_spark.operators.curation import _POLY_M31, _poly31
+
+    key = F.concat_ws("|", src_col, dst_col)
+    if portable_hash:
+        hm = ((_poly31(key) + 1) * F.lit(2654435761)) % F.lit(_POLY_M31)
+    else:
+        hm = F.pmod(F.xxhash64(key), F.lit(1 << 62))
+    e = edges.select(src_col, dst_col).distinct().withColumn(
+        "bucket", (hm % n_buckets).cast("long")
+    )
+    w = Window.partitionBy("bucket").orderBy(src_col, dst_col)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = e.withColumn(
+        "neg_dst",
+        F.coalesce(
+            F.lead(dst_col).over(w), F.first(dst_col).over(wf)
+        ),
+    )
+    exists = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"),
+        F.lit(1).alias("__hit"),
+    ).distinct()
+    out = (
+        neg.join(
+            exists,
+            (F.col(src_col) == F.col("__s")) & (F.col("neg_dst") == F.col("__d")),
+            "left",
+        )
+        .withColumn("is_collision", F.coalesce(F.col("__hit"), F.lit(0)))
+        .drop("__s", "__d", "__hit")
+    )
+    return out.select(src_col, dst_col, "bucket", "neg_dst", "is_collision")
