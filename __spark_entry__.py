@@ -1808,7 +1808,14 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("sim_r"),
         F.lit(-1).cast(a.schema["rn"].dataType).alias("rn"),
     )
-    codes, cents = product_quantize(_t(spark, sf_dir, "embeddings"))
+    # gate scale runs the SQL-replayable fold assignment; every other
+    # scale runs the numpy mapInPandas path (pytest pins codes equal)
+    import os as _os
+
+    codes, cents = product_quantize(
+        _t(spark, sf_dir, "embeddings"),
+        vectorized=_os.path.basename(sf_dir.rstrip("/")) != "sf0.01",
+    )
     pq1 = codes.select(
         F.lit("pqcode").alias("gate"),
         F.col("id").alias("qid"),

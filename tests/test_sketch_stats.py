@@ -431,3 +431,22 @@ class TestNegativeSamples:
         assert r1 == r2
         # most corruptions are genuine negatives on this sparse graph
         assert sum(1 for r in r1 if r[4] == 0) > len(r1) // 2
+
+
+class TestPQVectorized:
+    def test_numpy_path_equals_fold_path(self, spark):
+        from trustfuse_spark.operators.embeddings import product_quantize
+
+        rows = [
+            (i, [float(round(math.sin(i * 7 + d) * 3, 3)) for d in range(16)])
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        c_fold, k_fold = product_quantize(df, n_sub=2, sub_dim=8, k=4)
+        c_np, k_np = product_quantize(df, n_sub=2, sub_dim=8, k=4, vectorized=True)
+        assert sorted(map(tuple, c_fold.collect())) == sorted(
+            map(tuple, c_np.collect())
+        )
+        assert sorted(map(tuple, k_fold.collect())) == sorted(
+            map(tuple, k_np.collect())
+        )

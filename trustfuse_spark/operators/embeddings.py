@@ -174,6 +174,7 @@ def product_quantize(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lloyd_rounds: int = 1,
+    vectorized: bool = False,
 ):
     """Product quantization (Jégou et al. 2011): split each vector into
     ``n_sub`` contiguous ``sub_dim``-dim slices, learn a ``k``-centroid
@@ -199,6 +200,14 @@ def product_quantize(
     of bounded output (n_sub*k*sub_dim cells); the collect is the bounded
     codebook, convergence-scalar convention. float32 widens to double
     BEFORE any arithmetic (the `embedding_moments` contract).
+
+    ``vectorized=True`` swaps the assignment pass for one numpy
+    ``||V||^2 - 2 V C^T + ||C||^2`` argmin per Arrow batch (the
+    embedding-sketch convention — corpus runs should use it; the
+    expression-fold path exists so the sf0.01 driver gate replays
+    bit-for-bit in SQL). Both paths produce identical codes away from
+    exact distance ties (pytest-pinned on fixtures); numpy's argmin and
+    the fold's array_position both break exact ties to the lowest code.
 
     Returns (codes, centroids): codes = (id, sub, code); centroids =
     (sub, code, dim, value) with the final rounded codebook.
@@ -239,7 +248,46 @@ def product_quantize(
         (r["sub"], low_ids.index(r["id"])): list(r["v"]) for r in init_rows
     }
 
-    def _assign(df):
+    def _assign_np(df):
+        cmats = {
+            s: np.array([cent[(s, j)] for j in range(k)]) for s in range(n_sub)
+        }
+        schema = StructType(
+            [
+                StructField("id", df.schema["id"].dataType),
+                StructField("sub", df.schema["sub"].dataType),
+                StructField("v", ArrayType(DoubleType())),
+                StructField("code", LongType()),
+            ]
+        )
+
+        def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes_out = np.empty(len(pdf), dtype=np.int64)
+                subs = pdf["sub"].to_numpy()
+                V = np.stack(pdf["v"].to_numpy())
+                for s in range(n_sub):
+                    msk = subs == s
+                    if not msk.any():
+                        continue
+                    D = ((V[msk][:, None, :] - cmats[s][None, :, :]) ** 2).sum(-1)
+                    codes_out[msk] = np.argmin(D, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "sub": pdf["sub"],
+                        "v": pdf["v"],
+                        "code": codes_out,
+                    }
+                )
+
+        # v rides through the batch (no join back — the frontier never
+        # shuffles); the update agg consumes it directly
+        return df.mapInPandas(_fn, schema)
+
+    def _assign_fold(df):
         code_cols = []
         for s in range(n_sub):
             dists = F.array(
@@ -264,6 +312,7 @@ def product_quantize(
             )
         return df.withColumn("code", F.coalesce(*code_cols))
 
+    _assign = _assign_np if vectorized else _assign_fold
     for _ in range(lloyd_rounds):
         assigned = _assign(slices)
         upd = (
