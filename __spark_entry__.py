@@ -1873,11 +1873,22 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact DECIMAL(38,12) (order-independent — a double sum would
     drift with partition order), the closed-form slope/intercept/r2/n ride
     at 6 dp; the oracle replays the identical cast chain and expression
-    tree in DuckDB, so a float shortcut anywhere breaks the hash."""
-    from trustfuse_spark.operators.stats import group_ols
+    tree in DuckDB, so a float shortcut anywhere breaks the hash.
 
-    ols = group_ols(
-        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"
+    Leg gate='quant': stats.group_quantiles — exact type-7 p10/p50/p90 of
+    extendedprice per returnflag via Spark's JVM percentile aggregate,
+    oracled by DuckDB's independent quantile_cont (same published
+    interpolation rule, different engine implementation)."""
+    from trustfuse_spark.operators.stats import group_ols, group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    ols = group_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    qt = group_quantiles(li, "l_returnflag", "l_extendedprice", [0.1, 0.5, 0.9])
+    e = qt.select(
+        F.lit("quant").alias("gate"),
+        F.concat_ws("|", "l_returnflag", F.col("prob").cast("string")).alias("key"),
+        F.round("quantile", 6).alias("m1"),
+        F.col("prob").alias("m2"),
     )
     c = ols.select(
         F.lit("ols").alias("gate"),
@@ -1903,7 +1914,7 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("denom").alias("m1"),
         F.col("n_claims").cast("double").alias("m2"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def group_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,7 +2019,22 @@ def asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("i1"),
         F.col("value").alias("d1"),
     )
-    return a.unionByName(b)
+    # Round-5 leg, gate='ret': weekly cohort retention
+    # (temporal.cohort_retention) — users cohort by the Monday-truncated
+    # week of their first event; every (cohort, offset) cell's distinct
+    # returning users AND retained fraction reach the hash. The oracle
+    # re-derives firsts, actives, and cohort sizes with independent SQL.
+    from trustfuse_spark.operators.temporal import cohort_retention
+
+    ret = cohort_retention(ev).select(
+        F.lit("ret").alias("gate"),
+        F.col("offset_weeks").cast("string").alias("key"),
+        F.col("cohort_week").alias("ts"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.col("n_users").cast("long").alias("i1"),
+        F.col("retention").alias("d1"),
+    )
+    return a.unionByName(b).unionByName(ret)
 
 
 def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3995,6 +4021,22 @@ def oracle_sql() -> dict[str, str]:
                            THEN (cov_n * cov_n) / (var_x * var_y) END, 6) AS m1,
                      CAST(nn AS DOUBLE) AS m2
               FROM f)
+            UNION ALL
+            SELECT 'quant' AS gate,
+                   l_returnflag || '|' || CAST(p AS VARCHAR) AS key,
+                   ROUND(q, 6) AS m1, p AS m2
+            FROM (
+              SELECT l_returnflag, 0.1 AS p,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS q
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, 0.5,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, 0.9,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
+              FROM lineitem GROUP BY l_returnflag)
         """,
         # Consolidated r5 gate: both ANN paths against the SAME exhaustive
         # scan (IVF with all probes is exact by construction).
@@ -4776,6 +4818,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'snap', CAST(user_id AS VARCHAR) || '|' || event_type,
                    ts, CAST(NULL AS TIMESTAMP), CAST(event_id AS BIGINT), value
             FROM s
+            UNION ALL
+            SELECT 'ret', CAST(offset_weeks AS VARCHAR), cohort_week,
+                   CAST(NULL AS TIMESTAMP), n_users,
+                   ROUND(n_users / CAST(cohort_size AS DOUBLE), 6)
+            FROM (
+              WITH firsts AS (
+                SELECT user_id,
+                       date_trunc('week', MIN(ts)) AS cohort_week
+                FROM events GROUP BY user_id),
+              actives AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                FROM events),
+              cells AS (
+                SELECT f.cohort_week,
+                       date_diff('day', f.cohort_week, a.week) // 7
+                         AS offset_weeks,
+                       COUNT(DISTINCT a.user_id) AS n_users
+                FROM actives a JOIN firsts f USING (user_id)
+                GROUP BY 1, 2),
+              sizes AS (
+                SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+                FROM firsts GROUP BY cohort_week)
+              SELECT c.cohort_week, c.offset_weeks, c.n_users, z.cohort_size
+              FROM cells c JOIN sizes z USING (cohort_week))
         """,
         # PageRank: the 3 power iterations unrolled as chained CTEs, each
         # with its own dangling-mass scalar, per-dst contribution sum, and

@@ -450,3 +450,68 @@ class TestPQVectorized:
         assert sorted(map(tuple, k_fold.collect())) == sorted(
             map(tuple, k_np.collect())
         )
+
+
+class TestGroupQuantiles:
+    def test_matches_numpy_type7(self, spark):
+        import numpy as np
+
+        from trustfuse_spark.operators.stats import group_quantiles
+
+        rows = [(("g%d" % (i % 2)), float((i * 17) % 53) + 0.5) for i in range(101)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            (r["g"], r["prob"]): r["quantile"]
+            for r in group_quantiles(df, "g", "x", [0.1, 0.5, 0.9]).collect()
+        }
+        for g in ("g0", "g1"):
+            xs = np.array([x for gg, x in rows if gg == g])
+            for p in (0.1, 0.5, 0.9):
+                assert got[(g, p)] == pytest.approx(
+                    np.quantile(xs, p), abs=1e-9
+                ), (g, p)
+
+
+class TestCohortRetention:
+    def test_matches_python_replay(self, spark):
+        import datetime
+
+        from trustfuse_spark.operators.temporal import cohort_retention
+
+        base = datetime.datetime(2024, 1, 1)  # a Monday
+        rows = []
+        for u in range(30):
+            first = u % 3  # cohort week 0/1/2
+            for w in range(first, 6):
+                if (u + w) % 4 != 0:  # some users skip weeks
+                    rows.append((u, base + datetime.timedelta(weeks=w, days=u % 5)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r["cohort_week"].date(), r["offset_weeks"]): (
+                r["n_users"],
+                r["retention"],
+            )
+            for r in cohort_retention(df).collect()
+        }
+        firsts = {}
+        for u, ts in rows:
+            wk = (ts - datetime.timedelta(days=ts.weekday())).date()
+            firsts[u] = min(firsts.get(u, wk), wk)
+        cohorts = {}
+        for u, c in firsts.items():
+            cohorts.setdefault(c, set()).add(u)
+        expect = {}
+        seen = set()
+        for u, ts in rows:
+            wk = (ts - datetime.timedelta(days=ts.weekday())).date()
+            key = (firsts[u], (wk - firsts[u]).days // 7, u)
+            if key in seen:
+                continue
+            seen.add(key)
+            k2 = key[:2]
+            expect[k2] = expect.get(k2, 0) + 1
+        assert set(got) == set(expect)
+        for k, n in expect.items():
+            frac = round(n / len(cohorts[k[0]]), 6)
+            assert got[k] == (n, pytest.approx(frac, abs=1e-9)), k
+        assert all(got[k][1] == 1.0 for k in got if k[1] == 0)

@@ -64,3 +64,36 @@ def group_ols(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: list[float] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Exact linear-interpolated quantiles per group (type-7 / SQL
+    PERCENTILE_CONT semantics — position p*(n-1), the same rule DuckDB's
+    quantile_cont and numpy's default follow), one output row per
+    (group, prob).
+
+    Uses Spark's JVM-side exact `percentile` aggregate: correct to the
+    element, but its buffer holds each group's values — the per-group
+    memory is O(group size), fine for dashboard-grade slices (this engine's
+    use), wrong for billion-row groups; switch to `approx_percentile` with
+    a tuned accuracy there (same call shape, documented error bound).
+    `median_exact` (A2) remains the two-rank window formulation; this is
+    the multi-quantile surface.
+    """
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.groupBy(group_col).agg(
+        F.percentile(F.col(col).cast("double"), parr).alias("qs")
+    )
+    return agg.select(
+        group_col,
+        F.posexplode("qs").alias("pidx", "q"),
+    ).select(
+        group_col,
+        F.element_at(parr, F.col("pidx") + 1).alias("prob"),
+        F.col("q").alias("quantile"),
+    )

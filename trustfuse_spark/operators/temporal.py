@@ -129,3 +129,50 @@ def snapshot_asof(
     return picked.select(
         *key_cols, *[F.col("__row")[c].alias(c) for c in rest]
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention over an event stream: users cohort by the
+    ISO week (Monday-truncated) of their FIRST event; for every
+    (cohort_week, week offset) the distinct returning users and the
+    retained fraction of the cohort — the standard engagement matrix, and
+    for a corpus pipeline the "does this source keep producing" signal.
+
+    Scale shape: one map-side-combined min agg per user (first event), one
+    distinct on (user, week), one shuffle join on the user key to attach
+    cohorts, and a final (cohort, offset) count agg with the cohort-size
+    dim joined back BROADCAST — no windows, no per-row Python. Offsets are
+    exact day-diffs / 7 (both truncations are Monday-start, so every diff
+    is a whole number of weeks).
+
+    Returns (cohort_week, offset_weeks, n_users, retention) — offset 0 rows
+    carry retention 1.0 by construction.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    actives = events.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("week", F.col(ts_col)).alias("week"),
+    ).distinct()
+    joined = actives.join(firsts, "user").select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias("offset_weeks"),
+        "user",
+    )
+    ret = joined.groupBy("cohort_week", "offset_weeks").agg(
+        F.countDistinct("user").alias("n_users")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.countDistinct("user").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "offset_weeks",
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
