@@ -2034,7 +2034,23 @@ def asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").cast("long").alias("i1"),
         F.col("retention").alias("d1"),
     )
-    return a.unionByName(b).unionByName(ret)
+    # Round-5 leg, gate='z': the Morton value driving Z-order clustering
+    # (operators/zorder.z_value, 16-bit interleave of user_id and
+    # event_id's low bits) — pure shift/mask/or arithmetic the oracle
+    # recomputes per row; the repartitionByRange+sort clustering itself is
+    # pytest-gated (per-partition span tightening is a layout property,
+    # not a value).
+    from trustfuse_spark.operators.zorder import z_value
+
+    zv = ev.select(
+        F.lit("z").alias("gate"),
+        F.col("event_id").cast("string").alias("key"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        z_value(F.col("user_id"), F.col("event_id"), bits=16).alias("i1"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+    return a.unionByName(b).unionByName(ret).unionByName(zv)
 
 
 def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,6 +2458,22 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_zero").cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
+    # grouped variant, gate='hllg': per-lang m=32 registers folded to one
+    # estimate row per lang, the exact per-lang distinct count beside it
+    gregs = hyperloglog(d, m=32, portable_hash=portable, group_cols=["lang"])
+    gexact = (
+        d.select("lang", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("nd"))
+    )
+    h3 = hll_estimate(gregs, m=32, group_cols=["lang"]).join(gexact, "lang").select(
+        F.lit("hllg").alias("gate"),
+        F.col("lang").alias("key"),
+        F.round("estimate", 6).alias("m1"),
+        F.col("nd").cast("double").alias("m2"),
+        F.col("n_zero").cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+    )
     return (
         a.unionByName(b)
         .unionByName(p)
@@ -2454,6 +2486,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s2)
         .unionByName(h1)
         .unionByName(h2)
+        .unionByName(h3)
     )
 
 
@@ -4458,6 +4491,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(64 - COUNT(*) AS DOUBLE) AS zv,
                      SUM(power(2.0, -rho)) AS sp
               FROM hllreg),
+            hllgt AS (
+              SELECT d.lang, t.token,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), list_transform(
+                         generate_series(1, length(t.token)),
+                         i -> CAST(unicode(substring(t.token, i, 1))
+                              AS BIGINT))),
+                       (a, c) -> (a * 31 + c) % 2147483647) AS h
+              FROM (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks) t
+              JOIN documents d USING (doc_id)
+              GROUP BY d.lang, t.token,
+                       list_reduce(
+                         list_prepend(CAST(0 AS BIGINT), list_transform(
+                           generate_series(1, length(t.token)),
+                           i -> CAST(unicode(substring(t.token, i, 1))
+                                AS BIGINT))),
+                         (a, c) -> (a * 31 + c) % 2147483647)),
+            hllgreg AS (
+              SELECT lang,
+                     ((h + 1) * 2654435761 % 2147483647) & 31 AS idx,
+                     MAX(CASE WHEN (((h + 1) * 2654435761 % 2147483647)
+                                    >> 5) = 0 THEN 27
+                         ELSE CAST(log2((((h + 1) * 2654435761 % 2147483647)
+                                         >> 5)
+                                        & (-(((h + 1) * 2654435761
+                                              % 2147483647) >> 5)))
+                              AS BIGINT) + 1 END) AS rho
+              FROM hllgt GROUP BY 1, 2),
+            hllgagg AS (
+              SELECT lang, CAST(32 - COUNT(*) AS DOUBLE) AS zv,
+                     SUM(power(2.0, -rho)) AS sp
+              FROM hllgreg GROUP BY lang),
+            hllgest AS (
+              SELECT lang, zv,
+                     CASE WHEN 0.7213 / (1.0 + 1.079 / 32.0) * 32.0 * 32.0
+                               / (COALESCE(sp, 0.0) + zv) <= 80.0
+                               AND zv > 0
+                          THEN 32.0 * LN(32.0 / zv)
+                          ELSE 0.7213 / (1.0 + 1.079 / 32.0) * 32.0 * 32.0
+                               / (COALESCE(sp, 0.0) + zv) END AS est
+              FROM hllgagg),
+            hllgexact AS (
+              SELECT d.lang, COUNT(DISTINCT t.token) AS nd
+              FROM (SELECT doc_id, unnest(t) AS token FROM toks) t
+              JOIN documents d USING (doc_id)
+              GROUP BY d.lang),
             hllest AS (
               SELECT zv,
                      CASE WHEN 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
@@ -4547,6 +4626,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT v FROM vocab) AS DOUBLE) AS m2,
                    zv AS m3, CAST(NULL AS DOUBLE) AS m4
             FROM hllest
+            UNION ALL
+            SELECT 'hllg' AS gate, e.lang AS key,
+                   ROUND(e.est, 6) AS m1, CAST(x.nd AS DOUBLE) AS m2,
+                   e.zv AS m3, CAST(NULL AS DOUBLE) AS m4
+            FROM hllgest e JOIN hllgexact x USING (lang)
         """,
         # KG triple quality over the same closed-form pipeline triples:
         # planted defects (ref remap % 150, 'n/a' on id % 13 quantities,
@@ -4842,6 +4926,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM firsts GROUP BY cohort_week)
               SELECT c.cohort_week, c.offset_weeks, c.n_users, z.cohort_size
               FROM cells c JOIN sizes z USING (cohort_week))
+            UNION ALL
+            SELECT 'z', CAST(event_id AS VARCHAR), CAST(NULL AS TIMESTAMP),
+                   CAST(NULL AS TIMESTAMP),
+                   list_sum(list_transform(generate_series(0, 15),
+                     i -> ((((user_id & 65535) >> i) & 1) * (1 << (2*i)))
+                        + ((((event_id & 65535) >> i) & 1) * (1 << (2*i+1))))),
+                   CAST(NULL AS DOUBLE)
+            FROM events
         """,
         # PageRank: the 3 power iterations unrolled as chained CTEs, each
         # with its own dangling-mass scalar, per-dst contribution sum, and

@@ -515,3 +515,119 @@ class TestCohortRetention:
             frac = round(n / len(cohorts[k[0]]), 6)
             assert got[k] == (n, pytest.approx(frac, abs=1e-9)), k
         assert all(got[k][1] == 1.0 for k in got if k[1] == 0)
+
+
+class TestZOrder:
+    def test_zvalue_matches_python_interleave(self, spark):
+        from trustfuse_spark.operators.zorder import z_value
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 300) for i in range(200)], "a long, b long"
+        )
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select("a", "b", z_value(F.col("a"), F.col("b"), 10).alias("z")).collect()
+        }
+
+        def interleave(a, b, bits=10):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert all(got[(a, b)] == interleave(a, b) for (a, b) in got)
+
+    def test_clustering_tightens_both_ranges(self, spark):
+        from trustfuse_spark.operators.zorder import cluster_by_zorder
+
+        rows = [((i * 131) % 1024, (i * 197) % 1024) for i in range(4096)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        out = cluster_by_zorder(df, "a", "b", bits=10, num_partitions=16)
+        spans = (
+            out.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        # every partition's span in EACH dimension is far below the full
+        # 0..1023 domain (a single-key sort would leave the other at ~1023)
+        avg_sa = sum(r["sa"] for r in spans) / len(spans)
+        avg_sb = sum(r["sb"] for r in spans) / len(spans)
+        assert avg_sa < 600 and avg_sb < 600, (avg_sa, avg_sb)
+        # and the z-values are sorted within partitions
+        first = out.withColumn("pid", F.spark_partition_id()).collect()
+        byp = {}
+        for r in first:
+            byp.setdefault(r["pid"], []).append(r["zval"])
+        assert all(v == sorted(v) for v in byp.values())
+
+
+class TestCompaction:
+    def test_small_files_compact_to_plan_and_preserve_rows(self, spark, tmp_path):
+        import glob
+
+        from trustfuse_spark.plans.compact import compact_parquet, plan_compaction
+
+        src = str(tmp_path / "small")
+        dst = str(tmp_path / "compacted")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5000)], "id long, v string"
+        )
+        df.repartition(40).write.parquet(src)  # 40 tiny files
+        plan = plan_compaction(spark, src, target_file_bytes=1 << 30)
+        assert plan["n_files"] == 40 and plan["target_files"] == 1
+        executed = compact_parquet(
+            spark, src, dst, target_file_bytes=1 << 30, sort_cols=["id"]
+        )
+        assert executed["target_files"] == 1
+        files = glob.glob(f"{dst}/*.parquet")
+        assert len(files) == 1
+        back = spark.read.parquet(dst)
+        assert back.count() == 5000
+        assert sorted(r["id"] for r in back.collect()) == list(range(5000))
+
+    def test_target_scales_with_bytes(self, spark, tmp_path):
+        import glob
+
+        from trustfuse_spark.plans.compact import compact_parquet
+
+        src = str(tmp_path / "s2")
+        dst = str(tmp_path / "d2")
+        import hashlib
+
+        spark.createDataFrame(
+            [
+                (i, hashlib.sha256(str(i).encode()).hexdigest() * 4)
+                for i in range(20000)
+            ],
+            "id long, v string",
+        ).repartition(20).write.parquet(src)
+        executed = compact_parquet(spark, src, dst, target_file_bytes=200 * 1024)
+        assert executed["target_files"] > 1
+        assert len(glob.glob(f"{dst}/*.parquet")) == executed["target_files"]
+
+
+class TestGroupedHLL:
+    def test_per_group_equals_per_filter(self, spark):
+        rows = [
+            (i, ("en" if i % 3 else "de"),
+             " ".join(f"t{(i * 7 + j) % 151}" for j in range(10)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        grouped = hyperloglog(df, m=32, portable_hash=True, group_cols=["lang"])
+        est = {
+            r["lang"]: (r["n_zero"], r["estimate"])
+            for r in hll_estimate(grouped, 32, group_cols=["lang"]).collect()
+        }
+        for lang in ("en", "de"):
+            solo = hyperloglog(
+                df.filter(F.col("lang") == lang), m=32, portable_hash=True
+            )
+            want = hll_estimate(solo, 32).collect()[0]
+            assert est[lang] == (want["n_zero"], want["estimate"]), lang

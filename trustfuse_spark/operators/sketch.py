@@ -124,6 +124,7 @@ def hyperloglog(
     m: int = 64,
     text_col: str = "text",
     portable_hash: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog registers (Flajolet et al. 2007) for the corpus's
     distinct-token cardinality: each token occurrence hashes once, the low
@@ -149,9 +150,10 @@ def hyperloglog(
         raise ValueError("m must be a power of two >= 2")
     b = m.bit_length() - 1
     toks = docs.select(
+        *(group_cols or []),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token")
+        ).alias("token"),
     )
     if portable_hash:
         h = _poly31(F.col("token"))
@@ -162,6 +164,7 @@ def hyperloglog(
         width = 62
     cap = width - b + 1
     reg = toks.select(
+        *(group_cols or []),
         hm.bitwiseAND(F.lit(m - 1)).cast("long").alias("idx"),
         F.shiftright(hm, b).alias("rest"),
     )
@@ -172,12 +175,15 @@ def hyperloglog(
         .otherwise(F.log2(F.col("rest").bitwiseAND(-F.col("rest"))) + 1)
         .cast("long")
     )
-    return reg.select("idx", rho.alias("rho")).groupBy("idx").agg(
-        F.max("rho").alias("rho")
-    )
+    keys = list(group_cols or []) + ["idx"]
+    return reg.select(*(group_cols or []), "idx", rho.alias("rho")).groupBy(
+        *keys
+    ).agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, m: int, group_cols: list[str] | None = None
+) -> DataFrame:
     """Cardinality estimate from a `hyperloglog` register table built with
     the SAME m: the standard bias-corrected harmonic mean
     E = alpha_m * m^2 / (sum_j 2^-M_j), with the small-range linear-counting
@@ -190,7 +196,8 @@ def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
     this agg is a scalar summary, not a corpus pass.
     """
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    gb = registers.groupBy(*group_cols) if group_cols else registers.groupBy()
+    agg = gb.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
@@ -201,7 +208,9 @@ def hll_estimate(registers: DataFrame, m: int) -> DataFrame:
         (e_raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(e_raw)
-    return agg.select(v.cast("long").alias("n_zero"), est.alias("estimate"))
+    return agg.select(
+        *(group_cols or []), v.cast("long").alias("n_zero"), est.alias("estimate")
+    )
 
 
 def bloom_build(
