@@ -4929,9 +4929,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'z', CAST(event_id AS VARCHAR), CAST(NULL AS TIMESTAMP),
                    CAST(NULL AS TIMESTAMP),
-                   list_sum(list_transform(generate_series(0, 15),
+                   -- CAST: list_sum over integers types HUGEINT in DuckDB,
+                   -- which the driver's fetch path surfaces as float64 /
+                   -- decimal and breaks the hash (the r4 multimodal class)
+                   CAST(list_sum(list_transform(generate_series(0, 15),
                      i -> ((((user_id & 65535) >> i) & 1) * (1 << (2*i)))
-                        + ((((event_id & 65535) >> i) & 1) * (1 << (2*i+1))))),
+                        + ((((event_id & 65535) >> i) & 1) * (1 << (2*i+1)))))
+                        AS BIGINT),
                    CAST(NULL AS DOUBLE)
             FROM events
         """,
