@@ -2516,11 +2516,18 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and v_functional = 1 on both rows; n_objects = -1 on non-functional
     predicates proves the exemption. The oracle replants the same rows and
     re-counts distinct objects per group with an independent
-    GROUP BY + join."""
+    GROUP BY + join.
+
+    r5 leg 3: inverse-functional flags (kg.inverse_functional_violations,
+    related_to declared IFP) — distinct SUBJECTS per (pred, obj); the
+    mod-150 Q-remap makes many objects naturally shared by several
+    subjects, so n_subjects varies and both flag branches are
+    value-bearing. Non-IFP predicates carry the -1 sentinel."""
     from trustfuse_spark.datagen import gen_docs
     from trustfuse_spark.operators.kg import (
         canonicalize_predicates,
         functional_violations,
+        inverse_functional_violations,
         to_ntriples,
         validate_triples,
     )
@@ -2554,10 +2561,11 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon, numeric_preds=["quantity"], ref_preds=["related_to", "part_of"]
     )
     out = functional_violations(out, ["related_to", "quantity"])
+    out = inverse_functional_violations(out, ["related_to"])
     res = out.select(
         "subj", "pred", "pred_canon", "obj", "bucket_id",
         "v_null", "v_numeric", "v_dangling", "n_violations",
-        "n_objects", "v_functional",
+        "n_objects", "v_functional", "n_subjects", "v_inv_functional",
     )
     return to_ntriples(
         res, ref_preds=["related_to", "part_of"], keep_cols=res.columns
@@ -4694,8 +4702,22 @@ def oracle_sql() -> dict[str, str]:
                           AND COALESCE(fg.n_objects, 0) > 1 AS INT)
                        AS v_functional
               FROM q0 LEFT JOIN fg ON fg.subj = q0.subj
-                                  AND fg.pred_canon = q0.pred_canon)
-            SELECT q.*,
+                                  AND fg.pred_canon = q0.pred_canon),
+            ifg AS (
+              SELECT pred_canon, obj,
+                     CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects
+              FROM q0 WHERE pred_canon = 'related_to'
+              GROUP BY pred_canon, obj),
+            q2 AS (
+              SELECT q.*,
+                     COALESCE(ifg.n_subjects, CAST(-1 AS BIGINT))
+                       AS n_subjects,
+                     CAST(q.pred_canon = 'related_to'
+                          AND COALESCE(ifg.n_subjects, 0) > 1 AS INT)
+                       AS v_inv_functional
+              FROM q LEFT JOIN ifg ON ifg.pred_canon = q.pred_canon
+                                  AND ifg.obj = q.obj)
+            SELECT q2.*,
                    '<http://example.org/' || subj || '> <http://example.org/'
                    || pred_canon || '> '
                    || CASE WHEN pred_canon IN ('related_to', 'part_of')
@@ -4708,7 +4730,7 @@ def oracle_sql() -> dict[str, str]:
                                   chr(9), '\\t')
                                 || '"'
                       END || ' .' AS ntriple
-            FROM q
+            FROM q2
         """,
         # Recompute exact 3-gram Jaccard from raw text for the pairs the LSH
         # emitted (ids read from the query's deterministic pair exchange; the

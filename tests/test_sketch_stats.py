@@ -631,3 +631,29 @@ class TestGroupedHLL:
             )
             want = hll_estimate(solo, 32).collect()[0]
             assert est[lang] == (want["n_zero"], want["estimate"]), lang
+
+
+class TestInverseFunctional:
+    def test_flags_shared_identifiers(self, spark):
+        from trustfuse_spark.operators.kg import inverse_functional_violations
+
+        triples = spark.createDataFrame(
+            [
+                ("e1", "isbn", "111"), ("e2", "isbn", "111"),  # conflict
+                ("e3", "isbn", "222"),                          # clean
+                ("e1", "label", "x"), ("e2", "label", "x"),     # non-IFP
+            ],
+            "subj string, pred_canon string, obj string",
+        )
+        out = {
+            (r["subj"], r["pred_canon"], r["obj"]): (
+                r["n_subjects"], r["v_inv_functional"]
+            )
+            for r in inverse_functional_violations(
+                triples, ["isbn"]
+            ).collect()
+        }
+        assert out[("e1", "isbn", "111")] == (2, 1)
+        assert out[("e2", "isbn", "111")] == (2, 1)
+        assert out[("e3", "isbn", "222")] == (1, 0)
+        assert out[("e1", "label", "x")] == (-1, 0)

@@ -189,6 +189,42 @@ def functional_violations(
     )
 
 
+def inverse_functional_violations(
+    triples: DataFrame,
+    inv_functional_preds: list[str],
+    pred_col: str = "pred_canon",
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Inverse-functional cardinality check (OWL InverseFunctionalProperty):
+    a predicate declared inverse-functional identifies its subject — an
+    object value may belong to at most ONE subject (ISBNs, registry ids,
+    canonical URLs). More than one distinct subject per (predicate, object)
+    means two fused entities claim the same identifying value — the KG-side
+    duplicate-entity signal that feeds entity-resolution re-runs (the
+    mirror of `functional_violations`, grouped on the other end).
+
+    Adds per-triple columns ``n_subjects`` (distinct subjects of the
+    triple's (predicate, object) group; -1 sentinel on non-IFP predicates)
+    and ``v_inv_functional``. Same plan shape as the functional check: one
+    map-side-combined distinct-count agg over the IFP slice keyed
+    (predicate, object), joined back co-partitioned.
+    """
+    is_ifp = F.col(pred_col).isin(inv_functional_preds)
+    g = (
+        triples.filter(is_ifp)
+        .groupBy(pred_col, obj_col)
+        .agg(F.countDistinct(subj_col).cast("long").alias("n_subjects"))
+    )
+    return (
+        triples.join(g, [pred_col, obj_col], "left")
+        .withColumn("n_subjects", F.coalesce("n_subjects", F.lit(-1).cast("long")))
+        .withColumn(
+            "v_inv_functional", (is_ifp & (F.col("n_subjects") > 1)).cast("int")
+        )
+    )
+
+
 def negative_samples(
     edges: DataFrame,
     n_buckets: int = 16,
