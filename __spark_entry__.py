@@ -1849,9 +1849,23 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adist").alias("sim_r"),
         F.col("rank").cast(a.schema["rn"].dataType).alias("rn"),
     )
+    # gate='pqblock': PQ-code candidate blocking + exact-cosine verify
+    # (embeddings.pq_candidate_pairs) — pairs agreeing on >= 3 of 4
+    # subspace codes, cosine at the ANN 4-dp rounding; n_shared rides rn.
+    from trustfuse_spark.operators.embeddings import pq_candidate_pairs
+
+    blk = pq_candidate_pairs(
+        codes, _t(spark, sf_dir, "embeddings"), min_shared=3
+    ).select(
+        F.lit("pqblock").alias("gate"),
+        F.col("id_a").alias("qid"),
+        F.col("id_b").alias("cid"),
+        F.round("cosine", 4).alias("sim_r"),
+        F.col("n_shared").cast(a.schema["rn"].dataType).alias("rn"),
+    )
     return (
         a.unionByName(b).unionByName(m).unionByName(pq1)
-        .unionByName(pq2).unionByName(adc)
+        .unionByName(pq2).unionByName(adc).unionByName(blk)
     )
 
 
@@ -4199,7 +4213,25 @@ def oracle_sql() -> dict[str, str]:
                   JOIN pqc2a c USING (sub)) t
                   ON t.sub = a.sub AND t.code = a.code
                 GROUP BY t.qid, a.id)
-              WHERE rk <= 10)
+              WHERE rk <= 10
+              UNION ALL
+              SELECT 'pqblock', id_a, id_b, cos, CAST(n_shared AS INT)
+              FROM (
+                SELECT s.id_a, s.id_b, s.n_shared,
+                       ROUND(list_dot_product(ea.v64, eb.v64)
+                             / (sqrt(list_dot_product(ea.v64, ea.v64))
+                                * sqrt(list_dot_product(eb.v64, eb.v64))),
+                             4) AS cos
+                FROM (
+                  SELECT x.id AS id_a, y.id AS id_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_shared
+                  FROM pqa2 x JOIN pqa2 y
+                    ON x.sub = y.sub AND x.code = y.code AND x.id < y.id
+                  GROUP BY x.id, y.id HAVING COUNT(*) >= 3) s
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS v64
+                      FROM embeddings) ea ON ea.vec_id = s.id_a
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS v64
+                      FROM embeddings) eb ON eb.vec_id = s.id_b))
         """,
         # Consolidated r5 gate: the one-step CRH weight update and the full
         # 2-iteration engine run, tag-unioned.

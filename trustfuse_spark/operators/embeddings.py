@@ -418,3 +418,64 @@ def pq_adc_topk(
         sums.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k_top)
     )
+
+
+def pq_candidate_pairs(
+    codes: DataFrame,
+    embs: DataFrame,
+    n_sub: int = 4,
+    min_shared: int = 3,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-duplicate CANDIDATE generation from PQ codes: two
+    vectors whose codes agree on >= ``min_shared`` of ``n_sub`` subspaces
+    are close in that many 16-dim blocks — a 4-byte-key blocking scheme
+    (equality joins on (sub, code)) that replaces hyperplane-LSH banding
+    when codes already exist for storage. Candidates are then verified
+    with the EXACT cosine from the raw embeddings — candidates only, the
+    all-pairs product never materializes (the MinHash/SimHash verify-only
+    contract, dedup.py).
+
+    Scale shape: per subspace one self-equi-join INSIDE (sub, code)
+    buckets; oversized buckets (a degenerate code every vector shares) are
+    shed FIRST via one count agg + broadcast anti-join — the LSH
+    `max_bucket` convention, so no quadratic bucket exists; the shared-code
+    count is a map-side-combined (id_a, id_b) agg over bucket-pair rows.
+
+    Returns (id_a, id_b, n_shared, cosine), id_a < id_b.
+    """
+    from trustfuse_spark.operators.ann import _dot, _norm
+
+    sizes = codes.groupBy("sub", "code").agg(F.count(F.lit(1)).alias("__n"))
+    keep = sizes.filter(F.col("__n") <= max_bucket).select("sub", "code")
+    kept = codes.join(F.broadcast(keep), ["sub", "code"], "left_semi")
+    a = kept.select("sub", "code", F.col("id").alias("id_a"))
+    b = kept.select("sub", "code", F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, ["sub", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    v = embs.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va"))
+    vb = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("vb"))
+    return (
+        shared.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+    )
