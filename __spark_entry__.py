@@ -1382,7 +1382,30 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("priority", 6).alias("score"),
         F.col("res_rank").alias("rnk"),
     )
-    return sample_leg.unionByName(cap_leg).unionByName(res_leg)
+    # gate='tier': nested scaling-law subsets (curation.sample_tiers) on
+    # the SAME salt-5 rounded draw as the sample leg — every doc's smallest
+    # admitting rate ([0.15, 0.35, 0.6] ladder; NULL = rejected by all)
+    # reaches the hash, so the nesting thresholds replay exactly.
+    from trustfuse_spark.operators.curation import portable_uniform, sample_tiers
+
+    tiers = sample_tiers(
+        d,
+        [0.15, 0.35, 0.6],
+        hash_expr=F.round(
+            portable_uniform(F.col("doc_id").cast("string"), 5), 6
+        ),
+    )
+    tier_leg = tiers.select(
+        F.lit("tier").alias("gate"),
+        "doc_id",
+        F.col("lang").alias("k"),
+        F.col("tier").alias("score"),
+        F.lit(-1).cast("long").alias("rnk"),
+    )
+    return (
+        sample_leg.unionByName(cap_leg).unionByName(res_leg)
+        .unionByName(tier_leg)
+    )
 
 
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5566,6 +5589,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) rh USING (doc_id)) p
               JOIN dc USING (lang))
             WHERE n <= 40 OR rn <= 40
+            UNION ALL
+            SELECT 'tier' AS gate, u.doc_id, d.lang AS k,
+                   CASE WHEN u.u < 0.15 THEN 0.15
+                        WHEN u.u < 0.35 THEN 0.35
+                        WHEN u.u < 0.6 THEN 0.6 END AS score,
+                   CAST(-1 AS BIGINT) AS rnk
+            FROM u JOIN documents d USING (doc_id)
         """,
         # Greedy first-fit packing replayed as a sequential recursive-CTE
         # fold per source shard (docs in doc_id order, capacity 256).

@@ -708,3 +708,28 @@ class TestPQBlocking:
                 / (np.linalg.norm(vecs[x]) * np.linalg.norm(vecs[y]))
             )
             assert cos == pytest.approx(want, abs=1e-9)
+
+
+class TestSampleTiers:
+    def test_nesting_and_rates(self, spark):
+        from trustfuse_spark.operators.curation import sample_tiers
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(4000)], "doc_id long"
+        )
+        out = sample_tiers(df, [0.5, 0.1, 0.25], salt=2)
+        rows = {r["doc_id"]: r["tier"] for r in out.collect()}
+        t10 = {i for i, t in rows.items() if t == 0.1}
+        t25 = {i for i, t in rows.items() if t in (0.1, 0.25)}
+        t50 = {i for i, t in rows.items() if t in (0.1, 0.25, 0.5)}
+        assert t10 < t25 < t50  # strict nesting
+        # tier sizes track the rates (hash-uniform within ~25%)
+        assert abs(len(t10) / 4000 - 0.1) < 0.025
+        assert abs(len(t25) / 4000 - 0.25) < 0.04
+        assert abs(len(t50) / 4000 - 0.5) < 0.05
+        # determinism across partitionings
+        out2 = {
+            r["doc_id"]: r["tier"]
+            for r in sample_tiers(df.repartition(7), [0.5, 0.1, 0.25], salt=2).collect()
+        }
+        assert rows == out2

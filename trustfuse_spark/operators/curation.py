@@ -155,6 +155,41 @@ def contamination_overlap(
     )
 
 
+def sample_tiers(
+    docs: DataFrame,
+    rates: list[float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_expr: Column | None = None,
+) -> DataFrame:
+    """Nested corpus subsets for scaling-law experiments: one deterministic
+    draw u per document against a SORTED ladder of rates produces samples
+    where every smaller tier is strictly contained in every larger one
+    (u < 0.1 implies u < 0.25 implies u < 0.5) — train a model per tier and
+    the 10% corpus is literally a subset of the 25% corpus, the property
+    learning-curve fits assume. Adds ``tier`` = the smallest admitting rate
+    (NULL when even the largest rejects).
+
+    The draw is `stratified_sample`'s: portable poly31+mix by default
+    (SQL-replayable, gate/test scale), or pass ``hash_expr`` (e.g.
+    xxhash64-based) for corpus runs — pure map-side either way, zero
+    shuffles, retry/speculation-stable.
+    """
+    ladder = sorted(set(float(r) for r in rates))
+    if not ladder or ladder[0] <= 0 or ladder[-1] > 1:
+        raise ValueError("rates must be in (0, 1]")
+    u = (
+        hash_expr
+        if hash_expr is not None
+        else portable_uniform(F.col(key_col).cast("string"), salt)
+    )
+    out = docs.withColumn("__u", u)
+    tier = F.when(F.col("__u") < ladder[0], F.lit(ladder[0]))
+    for r in ladder[1:]:
+        tier = tier.when(F.col("__u") < r, F.lit(r))
+    return out.withColumn("tier", tier).drop("__u")
+
+
 def weighted_reservoir(
     docs: DataFrame,
     stratum_col: str,
