@@ -1915,11 +1915,30 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leg gate='quant': stats.group_quantiles — exact type-7 p10/p50/p90 of
     extendedprice per returnflag via Spark's JVM percentile aggregate,
     oracled by DuckDB's independent quantile_cont (same published
-    interpolation rule, different engine implementation)."""
-    from trustfuse_spark.operators.stats import group_ols, group_quantiles
+    interpolation rule, different engine implementation).
+
+    Leg gate='wins': stats.winsorize — extendedprice clipped to its
+    returnflag's exact [1%, 99%] quantiles; the winsorized group sum (2 dp,
+    the q1 convention) and the clipped-row count both reach the hash, so
+    the bounds, the clip, and the flag all replay."""
+    from trustfuse_spark.operators.stats import group_ols, group_quantiles, winsorize
 
     li = _t(spark, sf_dir, "lineitem")
     ols = group_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    wz = (
+        winsorize(li, "l_returnflag", "l_extendedprice", lo=0.01, hi=0.99)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice_wins"), 2).alias("wsum"),
+            F.sum("clipped").cast("long").alias("nclip"),
+        )
+    )
+    g = wz.select(
+        F.lit("wins").alias("gate"),
+        F.col("l_returnflag").alias("key"),
+        F.col("wsum").alias("m1"),
+        F.col("nclip").cast("double").alias("m2"),
+    )
     qt = group_quantiles(li, "l_returnflag", "l_extendedprice", [0.1, 0.5, 0.9])
     e = qt.select(
         F.lit("quant").alias("gate"),
@@ -1951,7 +1970,10 @@ def group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("denom").alias("m1"),
         F.col("n_claims").cast("double").alias("m2"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d)
+        .unionByName(e).unionByName(g)
+    )
 
 
 def group_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4115,6 +4137,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_returnflag, 0.9,
                      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9)
               FROM lineitem GROUP BY l_returnflag)
+            UNION ALL
+            SELECT 'wins' AS gate, key, m1, m2 FROM (
+              WITH wb AS (
+                SELECT l_returnflag,
+                       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01)
+                         AS blo,
+                       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99)
+                         AS bhi
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l.l_returnflag AS key,
+                     ROUND(SUM(LEAST(GREATEST(
+                       CAST(l.l_extendedprice AS DOUBLE), wb.blo), wb.bhi)),
+                       2) AS m1,
+                     CAST(CAST(SUM(CASE WHEN
+                       LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE),
+                                      wb.blo), wb.bhi)
+                       != CAST(l.l_extendedprice AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS m2
+              FROM lineitem l JOIN wb USING (l_returnflag)
+              GROUP BY l.l_returnflag)
         """,
         # Consolidated r5 gate: both ANN paths against the SAME exhaustive
         # scan (IVF with all probes is exact by construction).

@@ -733,3 +733,20 @@ class TestSampleTiers:
             for r in sample_tiers(df.repartition(7), [0.5, 0.1, 0.25], salt=2).collect()
         }
         assert rows == out2
+
+
+class TestWinsorize:
+    def test_clips_to_group_quantiles(self, spark):
+        import numpy as np
+
+        from trustfuse_spark.operators.stats import winsorize
+
+        rows = [("g", float(v)) for v in range(100)] + [("g", 1e6), ("g", -1e6)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = winsorize(df, "g", "x", lo=0.05, hi=0.95).collect()
+        xs = np.array([x for _, x in rows])
+        lo, hi = np.quantile(xs, 0.05), np.quantile(xs, 0.95)
+        for r in out:
+            assert lo <= r["x_wins"] <= hi
+            assert r["clipped"] == int(r["x"] != r["x_wins"])
+        assert sum(r["clipped"] for r in out) >= 2  # the planted outliers

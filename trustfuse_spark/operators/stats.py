@@ -97,3 +97,33 @@ def group_quantiles(
         F.element_at(parr, F.col("pidx") + 1).alias("prob"),
         F.col("q").alias("quantile"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip ``col`` to its group's [lo, hi]
+    exact type-7 quantiles — the outlier-taming step ahead of
+    moment-based fusion (CRH/CATD variance terms are quadratic in
+    outliers; one corrupt magnitude otherwise owns a source's weight).
+
+    Two passes by necessity (the bounds ARE group statistics): one
+    `group_quantiles`-style percentile agg (tiny output, one row per
+    group) broadcast back onto the rows, then a map-side clip. Adds
+    ``<col>_wins`` and ``clipped`` (1 when the value moved).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(F.col(col).cast("double"), F.lit(float(lo))).alias("__lo"),
+        F.percentile(F.col(col).cast("double"), F.lit(float(hi))).alias("__hi"),
+    )
+    out = df.join(F.broadcast(bounds), group_col)
+    w = F.least(F.greatest(F.col(col).cast("double"), F.col("__lo")), F.col("__hi"))
+    return (
+        out.withColumn(f"{col}_wins", w)
+        .withColumn("clipped", (w != F.col(col).cast("double")).cast("int"))
+        .drop("__lo", "__hi")
+    )
