@@ -2018,7 +2018,44 @@ def graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("m2"),
         F.lit(None).cast("long").alias("m3"),
     )
-    return a.unionByName(b)
+    # Round-5 leg, gate='edit1': the FastSS deletion-neighborhood
+    # similarity join (linking.edit_distance_pairs) over the corpus's
+    # distinct tokens PLUS deterministically planted surface variants
+    # (docs with doc_id%3==0 contribute each token minus its first char;
+    # %5==0 contribute it with the first char swapped to 'x' — typo/alias
+    # forms, so deletion-, insertion-, and substitution-shaped distance-1
+    # pairs all exist and every one reaches the hash). The oracle replants
+    # and re-derives variants, candidates, and the levenshtein verify
+    # independently.
+    from trustfuse_spark.operators.linking import edit_distance_pairs
+
+    d0 = _t(spark, sf_dir, "documents")
+    tk = F.explode(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    ).alias("token")
+    base = d0.select(tk)
+    long_t = F.length("token") >= 2
+    p1 = (
+        d0.filter(F.col("doc_id") % 3 == 0).select(tk)
+        .filter(long_t)
+        .select(F.expr("substring(token, 2)").alias("token"))
+    )
+    p2 = (
+        d0.filter(F.col("doc_id") % 5 == 0).select(tk)
+        .filter(long_t)
+        .select(F.concat(F.lit("x"), F.expr("substring(token, 2)")).alias("token"))
+    )
+    toks = base.unionByName(p1).unionByName(p2)
+    ed = edit_distance_pairs(toks, "token").select(
+        F.lit("edit1").alias("gate"),
+        F.col("val_a").alias("a"),
+        F.col("val_b").alias("b"),
+        F.lit("").alias("c"),
+        F.col("dist").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    return a.unionByName(b).unionByName(ed)
 
 
 def asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3987,6 +4024,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ego', src, dst, pred, CAST(hop AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM ({_GRAPH_EGO_SQL})
+            UNION ALL
+            SELECT 'edit1', val_a, val_b, '' AS c, CAST(1 AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            FROM (
+              WITH edt AS (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '\\s+'), x -> x != ''))
+                  AS val
+                FROM documents),
+              edv AS (
+                SELECT DISTINCT val FROM (
+                  SELECT val FROM edt
+                  UNION ALL
+                  SELECT substr(val, 2) FROM edt
+                  WHERE doc_id % 3 = 0 AND length(val) >= 2
+                  UNION ALL
+                  SELECT 'x' || substr(val, 2) FROM edt
+                  WHERE doc_id % 5 = 0 AND length(val) >= 2)),
+              edb AS (
+                SELECT val FROM edv
+                WHERE length(val) BETWEEN 1 AND 24),
+              edx AS (
+                SELECT val, unnest(list_append(
+                  list_transform(generate_series(1, length(val)),
+                    i -> substr(val, 1, i - 1) || substr(val, i + 1)),
+                  val)) AS variant
+                FROM edb),
+              edp AS (
+                SELECT DISTINCT x.val AS val_a, y.val AS val_b
+                FROM edx x JOIN edx y USING (variant)
+                WHERE x.val < y.val)
+              SELECT val_a, val_b FROM edp
+              WHERE levenshtein(val_a, val_b) = 1)
         """,
         "evaluation_metrics": """
             WITH ev AS (

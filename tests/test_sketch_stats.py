@@ -750,3 +750,38 @@ class TestWinsorize:
             assert lo <= r["x_wins"] <= hi
             assert r["clipped"] == int(r["x"] != r["x_wins"])
         assert sum(r["clipped"] for r in out) >= 2  # the planted outliers
+
+
+class TestEditDistancePairs:
+    def test_complete_recall_vs_bruteforce(self, spark):
+        from trustfuse_spark.operators.linking import edit_distance_pairs
+
+        vals = [
+            "alpha", "alpga", "alphas", "lpha", "beta", "betta", "bketa",
+            "gamma", "gamna", "x", "xy", "y",
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "w string")
+        got = sorted(
+            (r["val_a"], r["val_b"])
+            for r in edit_distance_pairs(df, "w").collect()
+        )
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        expect = sorted(
+            {
+                tuple(sorted((x, y)))
+                for i, x in enumerate(vals)
+                for y in vals[i + 1 :]
+                if lev(x, y) == 1
+            }
+        )
+        assert got == expect

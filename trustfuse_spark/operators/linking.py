@@ -90,3 +90,55 @@ def link_dictionary(
         ).dropDuplicates([dict_surface] if dict_surface == surface_col else [surface_col])
     )
     return mentions.join(dim, surface_col, "left")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    max_len: int = 24,
+) -> DataFrame:
+    """All DISTINCT value pairs at Levenshtein distance exactly 1 (the
+    surface-form typo/variant join entity linking blocks on), via
+    FastSS/SymSpell deletion-neighborhood blocking: every value emits its
+    single-character-deletion variants PLUS itself; any distance-1 pair —
+    substitution (both delete position i), insertion/deletion (the longer's
+    variant equals the shorter itself) — collides on a variant, so recall
+    is complete BY CONSTRUCTION, and the exact `levenshtein` verify runs on
+    candidates only. No similarity-join cartesian anywhere.
+
+    Scale shape: the variant explode is map-side (len+1 rows per value,
+    bounded by ``max_len`` — longer values are dropped, documented); the
+    candidate join shuffles on the variant string; the verify + distinct
+    are candidate-sized. Returns (val_a, val_b, dist=1), val_a < val_b.
+    """
+    vals = (
+        df.select(F.col(col).alias("val"))
+        .filter(F.length("val").between(1, max_len))
+        .distinct()
+    )
+    variants = vals.select(
+        "val",
+        F.explode(
+            F.array_union(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("val")),
+                    lambda i: F.concat(
+                        F.col("val").substr(F.lit(1), i - 1),
+                        F.col("val").substr(i + 1, F.lit(1000)),
+                    ),
+                ),
+                F.array(F.col("val")),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("val").alias("val_a"), "variant")
+    b = variants.select(F.col("val").alias("val_b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .select("val_a", "val_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("val_a", "val_b") == 1).withColumn(
+        "dist", F.lit(1).cast("long")
+    )
