@@ -785,3 +785,21 @@ class TestEditDistancePairs:
             }
         )
         assert got == expect
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, spark):
+        from trustfuse_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame(
+            [(i % 3, i) for i in range(500)] + [(99, 0)], "k long, v long"
+        )
+        small = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (7, "z")], "k long, name string"
+        )
+        for how in ("inner", "left"):
+            got = sorted(
+                map(tuple, salted_join(big, small, "k", n_salts=4, how=how).collect())
+            )
+            want = sorted(map(tuple, big.join(small, "k", how).collect()))
+            assert got == want, how

@@ -86,3 +86,36 @@ def salted_mode(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join by salt-replication, for when AQE's runtime
+    skew splitting is unavailable (static plans, structured streaming
+    joins, or an engine pinned below the skew thresholds): the BIG side
+    tags each row with a deterministic salt in [0, n_salts), the SMALL
+    side replicates every row n_salts times, and the join runs on
+    (key, salt) — a celebrity key's rows spread over n_salts shuffle
+    partitions instead of one straggler task. Result rows are IDENTICAL to
+    the plain join (each big row meets exactly one copy of each matching
+    small row).
+
+    Cost: the small side shuffles n_salts-fold — use for genuinely small
+    dims only (if it broadcasts, broadcast instead; this is the middle
+    regime: too big to broadcast, joined against a skewed fact).
+
+    ``how`` supports 'inner' and 'left' (the unmatched-left rows carry
+    exactly one salt, so no duplication).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    bs = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts)))
+    ss = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return bs.join(ss, [on, "__salt"], how).drop("__salt")
