@@ -642,10 +642,13 @@ def minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trustfuse_spark.operators.dedup import near_duplicates_minhash
 
     d = _t(spark, sf_dir, "documents")
-    pairs = near_duplicates_minhash(d, "doc_id", "text", threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
     base = os.path.basename(sf_dir.rstrip("/"))
+    # corpus scales intersect xxhash64 shingle fingerprints (int64 numpy
+    # path); the gate scale keeps collision-free raw strings so the DuckDB
+    # replay is exact — the simhash31/poly31 portable-at-gate convention
+    pairs = near_duplicates_minhash(
+        d, "doc_id", "text", threshold=0.8, hash_shingles=base != "sf0.01"
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     if base != "sf0.01":  # pair exchange only at the correctness-gate scale
         return pairs
     path = _MINHASH_PAIRS_DIR.format(base=base)

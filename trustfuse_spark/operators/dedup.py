@@ -53,7 +53,12 @@ def _shed_hot_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFr
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Character n-gram shingle set per row: (id, shingle).
 
@@ -64,10 +69,17 @@ def shingles(
 
     distinct=False skips the dedup shuffle and yields the raw occurrence
     stream — enough for any idempotent downstream aggregate (min-hash:
-    min over the multiset == min over the set)."""
+    min over the multiset == min over the set).
+
+    fan_out=False skips the `_fan_out` partition probe: pass it when the
+    input already sits behind a shuffle/join (its partitioning is AQE-sized)
+    — under AQE, `_fan_out`'s ``df.rdd`` materializes every upstream query
+    stage as real jobs at plan-BUILD time (measured: 11 jobs / ~9s of the
+    minhash query's construction), and the probe is only ever needed to
+    spread a single dense input split."""
     lowered = F.lower(F.col(text_col))
     out = (
-        _fan_out(df).select(
+        (_fan_out(df) if fan_out else df).select(
             F.col(id_col).alias("id"),
             lowered.alias("__t"),
             F.explode(
@@ -156,33 +168,82 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    pairs: DataFrame, shingle_df: DataFrame, min_jaccard: float | None = None
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    min_jaccard: float | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
+    Each id's shingle SET is aggregated once (``collect_set`` — duplicate
+    occurrences collapse, so the raw occurrence stream from
+    ``shingles(distinct=False)`` is accepted directly and the corpus-wide
+    (id, shingle) dedup shuffle is skipped); pairs then join the two set
+    arrays and |A∩B| is one vectorized ``np.intersect1d`` per pair inside
+    an Arrow-batched pandas UDF (only the two array columns cross the
+    Python boundary — guide §4.1/§4.2). The former per-shingle form
+    exploded every candidate pair into |A| + |B| join rows — on a
+    near-dup-dense corpus (sf0.1: 121k prefiltered candidates x ~300
+    shingles = 36M rows through two shuffle joins + an agg) the explode
+    dominated the whole query (12.6s of a 23.8s exec, measured); the
+    set-array + numpy form computes the identical integer |A∩B| in 5.0s
+    with no per-shingle shuffle (guide §2.3/§2.4). Row width is bounded by
+    document length — the same bound as the input row's own text.
+
+    ``hash_shingles=True`` intersects 8-byte ``xxhash64`` fingerprints
+    instead of the raw shingle strings — the corpus-scale path (int64
+    numpy intersect, ~4 bytes/char less freight; a fingerprint collision
+    merely overcounts one set element, odds 2^-64 per distinct-shingle
+    pair — the `duplicated_spans`/`exact_duplicates` hash-first
+    convention). Gates/tests keep the default collision-free strings.
+
     min_jaccard (optional) applies the size-ratio necessary condition
-    BEFORE the intersection join: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    BEFORE the intersection work: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
     any pair whose shingle-count ratio is below the threshold cannot pass —
-    an exact (zero-recall-loss) prefilter that keeps the expensive
-    per-shingle join off hopeless candidates."""
-    sizes = shingle_df.groupBy("id").agg(F.count("*").alias("n"))
+    an exact (zero-recall-loss) prefilter. Only pairs with a non-empty
+    intersection emit a row (the contract of the former inner join)."""
+    from pyspark.sql import types as T
+
+    key = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
+    sets_ = shingle_df.groupBy("id").agg(F.collect_set(key).alias("sh"))
     sized_pairs = (
-        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        pairs.join(
+            sets_.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.size("sh").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.size("sh").alias("nb"),
+            ),
+            "id_b",
+        )
     )
     if min_jaccard is not None:
         sized_pairs = sized_pairs.filter(
             F.least("na", "nb") / F.greatest("na", "nb") >= F.lit(min_jaccard)
         )
-    inter = (
-        sized_pairs.join(shingle_df.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(
-            shingle_df.select(F.col("id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
+
+    @pandas_udf(T.LongType())
+    def _isect(a: pd.Series, b: pd.Series) -> pd.Series:
+        # inputs are sets by construction (collect_set), so assume_unique
+        # is exact; np.intersect1d sorts internally (C loop per pair)
+        return pd.Series(
+            [int(np.intersect1d(x, y, assume_unique=True).size) for x, y in zip(a, b)]
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
+
+    inter = sized_pairs.select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        _isect("sh_a", "sh_b").alias("inter"),
+    ).filter(F.col("inter") > 0)
     return inter.select(
         "id_a",
         "id_b",
@@ -199,6 +260,7 @@ def near_duplicates_minhash(
     bands: int = 4,
     threshold: float = 0.8,
     sig_prefilter: bool = True,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact Jaccard >= threshold.
 
@@ -216,7 +278,7 @@ def near_duplicates_minhash(
         full corpus shingle table.
     """
     raw = shingles(df, id_col, text_col, n, distinct=False)
-    sigs = minhash_signatures(raw, num_hashes).localCheckpoint(eager=False)
+    sigs = minhash_signatures(raw, num_hashes).cache()
     cand = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     if sig_prefilter:
         # Signature-agreement prefilter — PROBABILISTIC, not lossless: the
@@ -243,7 +305,7 @@ def near_duplicates_minhash(
             .filter(matches >= F.lit(cutoff * num_hashes))
             .select("id_a", "id_b")
         )
-    pairs = cand.localCheckpoint(eager=False)
+    pairs = cand.cache()
     cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
@@ -252,10 +314,12 @@ def near_duplicates_minhash(
     # runtime from its actual size) but is data-dependent — on a dup-heavy
     # corpus a forced broadcast would blow the 8 GB limit (ADVICE r2).
     cand_docs = df.join(cand_ids, id_col, "left_semi")
-    sh_cand = shingles(cand_docs, id_col, text_col, n)
-    return exact_jaccard(pairs, sh_cand, min_jaccard=threshold).filter(
-        F.col("jaccard") >= threshold
-    )
+    # raw occurrence stream: exact_jaccard's collect_set dedups for free,
+    # so the candidate docs skip the (id, shingle) distinct shuffle
+    sh_cand = shingles(cand_docs, id_col, text_col, n, distinct=False, fan_out=False)
+    return exact_jaccard(
+        pairs, sh_cand, min_jaccard=threshold, hash_shingles=hash_shingles
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def exact_duplicates(

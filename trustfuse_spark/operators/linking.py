@@ -44,7 +44,10 @@ def candidate_links(
         .distinct()
         .withColumn("__txt", F.col("id"))
     )
-    sh = shingles(surfaces, "id", "__txt", n)
+    # fan_out=False: surfaces sit behind a distinct() shuffle, so the
+    # partitioning is already AQE-sized and the _fan_out probe would
+    # materialize the upstream stages at plan-build time (dedup.shingles)
+    sh = shingles(surfaces, "id", "__txt", n, fan_out=False)
     pairs = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes), bands, num_hashes // bands
     )
