@@ -1826,21 +1826,36 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     a = ann_topk(spark, sf_dir).select(F.lit("brute").alias("gate"), "qid", "cid", "sim_r", "rn")
-    b = ivf_ann_topk(spark, sf_dir).select(F.lit("ivf").alias("gate"), "qid", "cid", "sim_r", "rn")
+    # IVF centroid training and PQ codebook training are independent chains
+    # of small sequential driver jobs (Lloyd collects); run them from two
+    # driver threads so one chain back-fills the other's idle cores
+    # (guide §2.6) — construction was the dominant cost of this query
+    # (10.4s build vs 3.7s exec, bench_extra r6).
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fut_ivf = _pool.submit(ivf_ann_topk, spark, sf_dir)
+        # gate scale runs the SQL-replayable fold assignment; every other
+        # scale runs the numpy mapInPandas path (pytest pins codes equal)
+        _fut_pq = _pool.submit(
+            product_quantize,
+            _t(spark, sf_dir, "embeddings"),
+            vectorized=_os.path.basename(sf_dir.rstrip("/")) != "sf0.01",
+        )
+        b = _fut_ivf.result().select(
+            F.lit("ivf").alias("gate"), "qid", "cid", "sim_r", "rn"
+        )
+        codes, cents = _fut_pq.result()
+    # three consumers (pqcode leg, ADC join, PQ blocking) read codes: cache
+    # so the assignment pass over the corpus runs once, not three times
+    codes = codes.cache()
     m = embedding_moments(_t(spark, sf_dir, "embeddings")).select(
         F.lit("pca").alias("gate"),
         F.col("i").alias("qid"),
         F.col("j").alias("cid"),
         F.round("value", 6).alias("sim_r"),
         F.lit(-1).cast(a.schema["rn"].dataType).alias("rn"),
-    )
-    # gate scale runs the SQL-replayable fold assignment; every other
-    # scale runs the numpy mapInPandas path (pytest pins codes equal)
-    import os as _os
-
-    codes, cents = product_quantize(
-        _t(spark, sf_dir, "embeddings"),
-        vectorized=_os.path.basename(sf_dir.rstrip("/")) != "sf0.01",
     )
     pq1 = codes.select(
         F.lit("pqcode").alias("gate"),
@@ -2387,6 +2402,15 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     portable = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
+    # BPE training is a sequential chain of small driver jobs (one argmax
+    # collect per merge round); run it from a worker thread so it overlaps
+    # the other legs' construction jobs (bigram vocab-size scalar, DSIR
+    # chain) — guide §2.6. Results are unchanged: the chain is
+    # deterministic and threads only reorder job submission.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _bpe_pool = ThreadPoolExecutor(max_workers=1)
+    _fut_bpe = _bpe_pool.submit(train_bpe, d, 3)
     a = vocab_topk(d, top_n=40).select(
         F.lit("vocab").alias("gate"),
         F.col("token").alias("key"),
@@ -2395,7 +2419,10 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coverage").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
-    lm_scores = bigram_lm_score(d, alpha=0.5)
+    # cache: the 'score' and 'ppl' legs both consume the scoring — without
+    # it the bigram-LM estimation+scoring chain executes twice in the one
+    # final action
+    lm_scores = bigram_lm_score(d, alpha=0.5).cache()
     b = lm_scores.select(
         F.lit("score").alias("gate"),
         F.col("doc_id").cast("string").alias("key"),
@@ -2433,7 +2460,8 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mis-merged word breaks the hash. The oracle re-derives each round's
     # argmax pair and replays the greedy merge fold as a recursive CTE
     # (same sequential-fold pattern as the pack_sequences oracle).
-    merges, bpe_vocab = train_bpe(d, 3)
+    merges, bpe_vocab = _fut_bpe.result()
+    _bpe_pool.shutdown()
     e1 = spark.createDataFrame(
         [(i + 1, a_, b_, n_) for i, (a_, b_, n_) in enumerate(merges)],
         "rank int, a string, b string, n long",
@@ -2494,7 +2522,8 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dsir-leg convention).
     from trustfuse_spark.operators.sketch import cms_estimate, count_min_sketch
 
-    sk = count_min_sketch(d, width=64, depth=3, portable_hash=portable)
+    # cache: consumed by the 'cms' cell leg AND broadcast into cms_estimate
+    sk = count_min_sketch(d, width=64, depth=3, portable_hash=portable).cache()
     s1 = sk.select(
         F.lit("cms").alias("gate"),
         F.concat_ws("|", F.col("row").cast("string"), F.col("col").cast("string"))
@@ -2536,7 +2565,8 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # poly31+Knuth hash at gate scale, xxhash64 elsewhere (dsir convention).
     from trustfuse_spark.operators.sketch import hll_estimate, hyperloglog
 
-    hregs = hyperloglog(d, m=64, portable_hash=portable)
+    # cache: consumed by the 'hll' register leg AND hll_estimate
+    hregs = hyperloglog(d, m=64, portable_hash=portable).cache()
     h1 = hregs.select(
         F.lit("hll").alias("gate"),
         F.concat(F.lit("r"), F.col("idx").cast("string")).alias("key"),

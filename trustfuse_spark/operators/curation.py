@@ -1270,8 +1270,12 @@ def dsir_select(
             - F.log(-F.log(F.greatest(u, F.lit(1e-9)))),
         )
         # one small row per doc; both the top-k and the mark join read it —
-        # without this the featurize+score chain re-runs per consumer
-        .localCheckpoint(eager=False)
+        # without this the featurize+score chain re-runs per consumer.
+        # cache(), not lazy localCheckpoint: under AQE a lazy checkpoint
+        # still executes every upstream stage at plan-BUILD time, turning
+        # the chain into sequential construction jobs; cache defers to the
+        # first action, where independent stages run concurrently
+        .cache()
     )
     top = (
         ranked.orderBy(F.col("__g").desc(), F.col("__id").asc())

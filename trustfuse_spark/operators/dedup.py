@@ -527,7 +527,9 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.posexplode(band_sketches(F.col(vec_col))).alias("band", "sketch"),
-    ).localCheckpoint(eager=False)  # shed + self-join both read it; don't rerun the UDF
+    ).cache()  # shed + self-join both read it; don't rerun the UDF (cache,
+    # not lazy localCheckpoint — the latter executes the UDF pass at
+    # plan-build time under AQE)
     sk = _shed_hot_buckets(sk, ["band", "sketch"], max_bucket)
     a = sk.select("band", "sketch", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = sk.select("band", "sketch", F.col("id").alias("id_b"), F.col("v").alias("vb"))

@@ -331,9 +331,10 @@ def product_quantize(
                 cent[key] = newc[key]
 
     codes = _assign(slices).select("id", "sub", "code")
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
+    # embs.sparkSession, not getActiveSession(): the active session is
+    # thread-local and callers may build PQ from a worker thread (the
+    # ann_suite constructs its independent legs concurrently — guide §2.6)
+    spark = embs.sparkSession
     centroids = spark.createDataFrame(
         [
             (s, j, d, cent[(s, j)][d])

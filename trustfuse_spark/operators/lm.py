@@ -244,7 +244,11 @@ def train_bpe(
         .withColumn(
             "syms", F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
         )
-        .localCheckpoint(eager=False)
+        # cache, not lazy localCheckpoint: a lazy checkpoint executes its
+        # upstream stages at call time under AQE, adding one synchronous
+        # job per merge round; cache materializes inside the round's own
+        # argmax collect instead (plan depth stays bounded by n_merges)
+        .cache()
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -271,7 +275,7 @@ def train_bpe(
         repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
         words = words.withColumn(
             "syms", F.regexp_replace("syms", pat, repl)
-        ).localCheckpoint(eager=False)
+        ).cache()
     return merges, words.select("word", "cnt", "syms")
 
 
