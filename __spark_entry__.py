@@ -2226,14 +2226,58 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dst"),
         )
         .distinct()
+        # one small job: every one of the 11 legs otherwise re-derives the
+        # edge universe (events scan + distinct) inside its own iterative
+        # checkpoints, and the severed lineage keeps each leg's per-round
+        # plans small
+        .localCheckpoint(eager=True)
     )
-    pr = pagerank(edges, iterations=3, damping=0.85).select(
+    # The iterative legs (pagerank/k-core/LPA/HITS/SSSP/triangles) are
+    # independent chains of small sequential driver jobs (eager checkpoint
+    # or count per round). Build them from a thread pool so the chains
+    # overlap (guide §2.6) — construction was 9.6s of this query's 14.7s
+    # (bench_extra r6, 75 sequential build jobs). Determinism is untouched:
+    # threads only reorder job submission across independent legs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=6)
+    _f_pr = _pool.submit(pagerank, edges, iterations=3, damping=0.85)
+    _f_ts = _pool.submit(triangle_stats, edges)
+    _f_lpa = _pool.submit(label_propagation, edges, iterations=2)
+    _f_kc = _pool.submit(k_core, edges, k=7)
+    _f_aa = _pool.submit(link_prediction, edges)
+    _f_hi = _pool.submit(hits, edges, iterations=2)
+
+    def _build_sssp():
+        from trustfuse_spark.operators.graph import shortest_paths
+
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        nid = F.col("node").substr(F.lit(2), F.lit(8)).cast("long")
+        wedges = edges.withColumn(
+            "weight",
+            (
+                (
+                    F.col("src").substr(F.lit(2), F.lit(8)).cast("long") * 3
+                    + F.col("dst").substr(F.lit(2), F.lit(8)).cast("long") * 5
+                )
+                % 7
+                + 1
+            ).cast("double"),
+        )
+        return shortest_paths(wedges, nodes.filter(nid % 41 == 0), rounds=3)
+
+    _f_sp = _pool.submit(_build_sssp)
+    pr = _f_pr.result().select(
         F.lit("pr").alias("gate"),
         "node",
         F.round("rank", 6).alias("rank"),
         F.lit(None).cast("string").alias("label"),
     )
-    ts = triangle_stats(edges)
+    ts = _f_ts.result()
     tri = ts.select(
         F.lit("tri").alias("gate"),
         "node",
@@ -2246,19 +2290,19 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lcc", 6).alias("rank"),
         F.lit(None).cast("string").alias("label"),
     )
-    lpa = label_propagation(edges, iterations=2).select(
+    lpa = _f_lpa.result().select(
         F.lit("lpa").alias("gate"),
         "node",
         F.lit(None).cast("double").alias("rank"),
         "label",
     )
-    kc = k_core(edges, k=7).select(
+    kc = _f_kc.result().select(
         F.lit("kcore").alias("gate"),
         "node",
         F.col("core_deg").cast("double").alias("rank"),
         F.lit(None).cast("string").alias("label"),
     )
-    aa = link_prediction(edges).select(
+    aa = _f_aa.result().select(
         F.lit("aa").alias("gate"),
         F.concat("node_a", F.lit("|"), "node_b").alias("node"),
         F.col("adamic_adar").alias("rank"),
@@ -2305,30 +2349,14 @@ def pagerank_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolls the three min-plus rounds as chained CTEs.
     from trustfuse_spark.operators.graph import shortest_paths
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nid = F.col("node").substr(F.lit(2), F.lit(8)).cast("long")
-    wedges = edges.withColumn(
-        "weight",
-        (
-            (
-                F.col("src").substr(F.lit(2), F.lit(8)).cast("long") * 3
-                + F.col("dst").substr(F.lit(2), F.lit(8)).cast("long") * 5
-            )
-            % 7
-            + 1
-        ).cast("double"),
-    )
-    sp = shortest_paths(wedges, nodes.filter(nid % 41 == 0), rounds=3).select(
+    sp = _f_sp.result().select(
         F.lit("sssp").alias("gate"),
         "node",
         F.col("dist").alias("rank"),
         F.lit(None).cast("string").alias("label"),
     )
-    hi = hits(edges, iterations=2)
+    hi = _f_hi.result()
+    _pool.shutdown()
     hub = hi.select(
         F.lit("hub").alias("gate"),
         "node",
