@@ -288,10 +288,15 @@ def crh_weight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loss", (F.col("v") - F.col("med")) ** 2 / F.col("sd")
     )
     raw = loss.groupBy("source").agg(F.sum("loss").alias("raw"))
-    total = raw.agg(F.sum("raw").alias("tot")).collect()[0]["tot"]
-    return raw.select(
+    # normalizer as a broadcast 1-row aggregate, not a driver collect: same
+    # double arithmetic, but the whole leg stays lazy (no build-time job)
+    # and nothing round-trips through the driver — the 100-TB shape too
+    total = raw.agg(F.sum("raw").alias("__tot"))
+    return raw.crossJoin(F.broadcast(total)).select(
         "source",
-        F.round(F.when(F.col("raw") > 0, -F.log(F.col("raw") / F.lit(total))).otherwise(0.0), 6).alias("w"),
+        F.round(
+            F.when(F.col("raw") > 0, -F.log(F.col("raw") / F.col("__tot"))).otherwise(0.0), 6
+        ).alias("w"),
     )
 
 
@@ -1913,8 +1918,15 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRH pair tag-unioned (consolidated r5): the single SQL-form weight
     step (gate='step1') and the full engine 2-iteration run (gate='engine2')."""
-    a = crh_weight_step(spark, sf_dir).select(F.lit("step1").alias("gate"), "source", "w")
-    b = crh_engine_weights(spark, sf_dir).select(F.lit("engine2").alias("gate"), "source", "w")
+    # the two legs are independent; the engine leg's per-iteration eager
+    # checkpoints dominate construction, so build both concurrently
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fa = _pool.submit(crh_weight_step, spark, sf_dir)
+        _fb = _pool.submit(crh_engine_weights, spark, sf_dir)
+        a = _fa.result().select(F.lit("step1").alias("gate"), "source", "w")
+        b = _fb.result().select(F.lit("engine2").alias("gate"), "source", "w")
     return a.unionByName(b)
 
 
