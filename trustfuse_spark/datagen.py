@@ -202,6 +202,18 @@ def gen_claims(
     )
 
 
+def _mix_sql(*args: str | int) -> str:
+    """SQL-text twin of :func:`_mix` — identical arithmetic, emitted as one
+    string so plan construction costs O(1) py4j calls instead of one per
+    expression node (measured: gen_docs built its Column tree in ~5s of
+    pure driver-side py4j chatter, re-paid by every query that generates
+    docs)."""
+    out = "CAST(1469598103 AS BIGINT)"
+    for c in args:
+        out = f"((({out} + {c}) + 1) * 2654435761) % 2147483647"
+    return out
+
+
 def gen_docs(
     spark: SparkSession,
     n_entities: int = 200,
@@ -219,6 +231,14 @@ def gen_docs(
     entity_noise=True renders name-like mention surfaces with deterministic
     typos in ~20% of docs — the linking/canonicalization stage's test input
     (resolve with gen_entity_dictionary to get back QIDs).
+
+    The span expressions are emitted as SQL text (`F.expr`) rather than
+    nested Column calls: the values are IDENTICAL (same arithmetic, same
+    casts — pinned by tests/test_datagen_sql.py's node-for-node comparison
+    against the Column formulation), but the whole plan costs three py4j
+    calls instead of thousands. Per-attr branches of the value renderer are
+    folded in Python because ``a`` is a loop literal — the same folding
+    Catalyst would do, done before the tree exists.
     """
     n_rows = n_entities * n_sources * n_revs
     docs = (
@@ -227,65 +247,98 @@ def gen_docs(
         .withColumn("s", (F.col("id") / n_revs).cast("long") % n_sources)
         .withColumn("r", F.col("id") % n_revs)
     )
-    e, s, r = F.col("e"), F.col("s"), F.col("r")
-    entity_repr = _noisy_surface(e, s, r) if entity_noise else _entity_name(e)
+    if entity_noise:
+        clean = (
+            "concat('ent', lpad(CAST(" + _mix_sql("e", 83) + " % 100000000 AS STRING),"
+            " 8, '0'), 'n', CAST(e AS STRING))"
+        )
+        entity_repr = (
+            f"CASE WHEN ({_mix_sql('e', 's', 'r', 71)} % 5) = 0"
+            f" THEN concat({clean}, 'x') ELSE {clean} END"
+        )
+    else:
+        entity_repr = "concat('Q', CAST(e + 1000 AS STRING))"
+
+    empty = f"CAST(array() AS {_SPAN_ARRAY_T})"
+
+    def value_sql(a_i: int, vidx: str) -> str:
+        variant = f"({_mix_sql('e', a_i, f'({vidx})', 23)} % 3)"
+        if a_i < 3:
+            return f"concat('Q', CAST(50000 + ({vidx}) AS STRING))"
+        if a_i == 3:
+            num = f"(({vidx}) % 900 + 100)"
+            return (
+                f"CASE WHEN {variant} = 0 THEN concat(CAST({num} AS STRING), ' m')"
+                f" WHEN {variant} = 1 THEN concat(CAST({num} * 100 AS STRING), ' cm')"
+                f" ELSE concat('+', CAST({num} AS STRING), 'metre') END"
+            )
+        if a_i == 4:
+            return (
+                f"CASE WHEN {variant} = 0"
+                f" THEN concat(' name_', CAST(({vidx}) AS STRING), ' ')"
+                f" ELSE concat('name_', CAST(({vidx}) AS STRING)) END"
+            )
+        return (
+            f"concat(CAST(({vidx}) % 24 AS STRING), ':',"
+            f" lpad(CAST(({vidx}) % 60 AS STRING), 2, '0'))"
+        )
 
     # Text spans: one per attr assigned to this revision (a % n_revs == r) and
-    # present for this (e, s, a). Built as concat of conditional single-item
-    # arrays (codegen-friendly; higher-order filter() is interpreted and was
-    # the generation bottleneck at bench scale).
+    # present for this (e, s, a), as concat of conditional single-item arrays
+    # (codegen-friendly; higher-order filter() is interpreted).
     span_structs = []
     for a_i in range(N_ATTRS):
-        a = F.lit(a_i).cast("long")
-        present = ((_mix(e, s, a, 5) % 100) >= 30) & (a % n_revs == r)
-        is_true = (_mix(e, s, a, 7) % 100) < _p_true_pct(s)
-        tv = _true_value_idx(e, a)
-        vidx = F.when(is_true, tv).otherwise(_wrong_value_idx(tv, _mix(e, s, a, 11) % N_WRONG))
-        text = F.concat(
-            entity_repr, F.lit(" | "), F.lit(ATTR_NAMES[a_i]), F.lit(" | "),
-            _value_str(e, a, vidx),
+        present = (
+            f"(({_mix_sql('e', 's', a_i, 5)} % 100) >= 30)"
+            f" AND (({a_i % n_revs}) = r)"
+        )
+        is_true = (
+            f"({_mix_sql('e', 's', a_i, 7)} % 100)"
+            f" < CAST(95 - (s % 9) * 5 AS BIGINT)"
+        )
+        tv = f"({_mix_sql('e', a_i, 17)} % 1000)"
+        wrong_j = f"({_mix_sql('e', 's', a_i, 11)} % {N_WRONG})"
+        vidx = (
+            f"CASE WHEN {is_true} THEN {tv}"
+            f" ELSE ({tv} + 129 + {wrong_j} * 173) % 1000 END"
+        )
+        text = (
+            f"concat({entity_repr}, ' | ', '{ATTR_NAMES[a_i]}', ' | ',"
+            f" {value_sql(a_i, vidx)})"
         )
         span_structs.append(
-            F.when(
-                present,
-                F.array(
-                    F.struct(
-                        F.lit("text").alias("kind"),
-                        text.alias("text"),
-                        F.lit("").alias("media_ref"),
-                        F.lit(a_i).cast("int").alias("offset"),
-                    )
-                ),
-            ).otherwise(F.array().cast(_SPAN_ARRAY_T))
+            f"CASE WHEN {present} THEN array(named_struct("
+            f"'kind', 'text', 'text', {text}, 'media_ref', '',"
+            f" 'offset', CAST({a_i} AS INT))) ELSE {empty} END"
         )
     # 0-2 media spans with deterministic refs, offsets after the text block
-    n_media = _mix(e, s, r, 13) % 3
+    n_media = f"({_mix_sql('e', 's', 'r', 13)} % 3)"
     for m_i in range(2):
-        mref = F.concat(F.lit("mref://"), (_mix(e, s, r, 29 + m_i) % 100000).cast("string"))
-        span_structs.append(
-            F.when(
-                n_media > m_i,
-                F.array(
-                    F.struct(
-                        F.lit("media").alias("kind"),
-                        F.lit("").alias("text"),
-                        mref.alias("media_ref"),
-                        F.lit(N_ATTRS + m_i).cast("int").alias("offset"),
-                    )
-                ),
-            ).otherwise(F.array().cast(_SPAN_ARRAY_T))
+        mref = (
+            f"concat('mref://', CAST({_mix_sql('e', 's', 'r', 29 + m_i)}"
+            f" % 100000 AS STRING))"
         )
-    spans = F.concat(*span_structs)
-    doc_id = F.concat(
-        F.lit("d"), F.lpad(e.cast("string"), 6, "0"),
-        F.lit("_"), F.lpad(s.cast("string"), 4, "0"),
-        F.lit("_"), F.lpad(r.cast("string"), 2, "0"),
+        span_structs.append(
+            f"CASE WHEN {n_media} > {m_i} THEN array(named_struct("
+            f"'kind', 'media', 'text', '', 'media_ref', {mref},"
+            f" 'offset', CAST({N_ATTRS + m_i} AS INT))) ELSE {empty} END"
+        )
+    spans = "concat(" + ", ".join(span_structs) + ")"
+    doc_id = (
+        "concat('d', lpad(CAST(e AS STRING), 6, '0'),"
+        " '_', lpad(CAST(s AS STRING), 4, '0'),"
+        " '_', lpad(CAST(r AS STRING), 2, '0'))"
     )
-    ts = F.to_timestamp(
-        F.from_unixtime(F.lit(EPOCH0) + r * REV_GAP_S + (_mix(e, s, 41) % 3600))
+    ts = (
+        f"to_timestamp(from_unixtime({EPOCH0} + r * {REV_GAP_S}"
+        f" + ({_mix_sql('e', 's', 41)} % 3600)))"
     )
     return (
-        docs.select(doc_id.alias("doc_id"), spans.alias("spans"), ts.alias("ts"))
+        docs.select(
+            F.expr(doc_id).alias("doc_id"),
+            F.expr(spans).alias("spans"),
+            F.expr(ts).alias("ts"),
+        )
         .filter(F.size("spans") > 0)
     )
 
