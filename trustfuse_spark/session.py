@@ -52,6 +52,22 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Let the planner choose shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1/§9): equi-join results are identical,
+        # but SMJ pays a sort of both sides — ruinous when rows carry array
+        # payloads (shingle sets, signatures, embeddings). The AQE rewrite
+        # threshold below additionally converts planned SMJs whose
+        # post-shuffle build partitions are verifiably small at runtime —
+        # the guarded form, so a huge build-side partition still gets the
+        # spill-safe sort-merge. Both parameterised for cluster overrides.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
