@@ -670,6 +670,29 @@ def duplicated_spans(
         ).alias("dup_frac"),
     )
 
+@pandas_udf(T.DoubleType())
+def _cosine_ltr(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Cosine of two equal-length double arrays, computed with an explicit
+    per-dimension LEFT-TO-RIGHT float64 accumulation — bit-identical to the
+    ``F.aggregate(zip_with(...))`` fold it replaces (acc = (acc + a_j*b_j)
+    in dimension order; norms likewise; IEEE-754 ops in the same order give
+    the same doubles), but vectorized across the whole Arrow batch instead
+    of interpreted per element (the verify stage of the embedding dedup
+    legs was fold-dominated). float32 inputs widen to float64 BEFORE any
+    product (exact — the same per-element cast the fold applied)."""
+    A = np.vstack(va.to_numpy()).astype(np.float64, copy=False)
+    B = np.vstack(vb.to_numpy()).astype(np.float64, copy=False)
+    n = len(A)
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for j in range(A.shape[1]):
+        dot += A[:, j] * B[:, j]
+        na += A[:, j] * A[:, j]
+        nb += B[:, j] * B[:, j]
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
 def axis_sign_cells(vec_col: str, n_bits: int = 4):
     """Portable cell assignment for `semantic_dedup`: bit ``i`` of the cell
     id is ``v[i+1] > 0``. Pure comparisons — no float arithmetic — so any
@@ -729,26 +752,12 @@ def semantic_dedup(
     cells = _shed_hot_buckets(cells, ["cell"], max_cell)
     a = cells.select("cell", F.col("id").alias("cand_id"), F.col("v").alias("va"))
     b = cells.select("cell", F.col("id").alias("keeper"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     scored = (
         a.join(b, "cell")
         .filter(F.col("keeper") < F.col("cand_id"))
-        .select(
-            "cand_id",
-            "keeper",
-            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine"),
-        )
+        # cosine via the batch-vectorized left-to-right fold (_cosine_ltr):
+        # bit-identical doubles, no interpreted per-element evaluation
+        .select("cand_id", "keeper", _cosine_ltr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     best = scored.groupBy("cand_id").agg(
