@@ -2573,13 +2573,19 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
+    # one cached exploded-token table serves the four exact-count legs
+    # below (CMS queries + exact counts, HLL exact distinct, per-lang
+    # distinct) — previously four independent tokenize+explode passes
+    dtok = d.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("token")
+    ).cache()
     qtok = (
-        d.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(_tokens(F.col("text"))).alias("token"))
+        dtok.filter(F.col("doc_id") % 97 == 0)
+        .select("token")
         .distinct()
     )
     exact = (
-        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        dtok.select("token")
         .join(qtok, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("exact"))
@@ -2615,10 +2621,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("m3"),
         F.lit(None).cast("double").alias("m4"),
     )
-    n_distinct = (
-        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .agg(F.countDistinct("token").alias("nd"))
-    )
+    n_distinct = dtok.agg(F.countDistinct("token").alias("nd"))
     h2 = hll_estimate(hregs, m=64).crossJoin(n_distinct).select(
         F.lit("hlle").alias("gate"),
         F.lit("estimate").alias("key"),
@@ -2630,11 +2633,7 @@ def lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped variant, gate='hllg': per-lang m=32 registers folded to one
     # estimate row per lang, the exact per-lang distinct count beside it
     gregs = hyperloglog(d, m=32, portable_hash=portable, group_cols=["lang"])
-    gexact = (
-        d.select("lang", F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("lang")
-        .agg(F.countDistinct("token").alias("nd"))
-    )
+    gexact = dtok.groupBy("lang").agg(F.countDistinct("token").alias("nd"))
     h3 = hll_estimate(gregs, m=32, group_cols=["lang"]).join(gexact, "lang").select(
         F.lit("hllg").alias("gate"),
         F.col("lang").alias("key"),
@@ -2704,6 +2703,9 @@ def triple_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = gen_docs(spark, 100, 10, 4)
     triples, _ = run_pipeline(docs, model="majority")
+    # planted defects AND the conflict branch both scan the fused triples;
+    # cache so the majority fusion aggregates run once, not twice
+    triples = triples.cache()
     eid = F.substring("subj", 2, 10).cast("int") - 1000
     vidx = F.substring("obj", 2, 10).try_cast("int") - 50000
     planted = triples.withColumn(
